@@ -1,0 +1,86 @@
+"""Count stage: per-(sample, partition) exact shingle counts + histograms.
+
+Reference parity:
+* count + hard-min + saturation — A5/A8/P9/P10
+  (gatb/sorting_count.hpp:694-884 heap merge ≙ one ``groupBy``;
+  count_processor.hpp:64-69 hard-min; :66 saturation).
+* histogram (count-of-counts) — A10 (histogram.hpp:34-207).
+* data-dependent soft-min thresholds from histogram quantiles —
+  histogram.hpp:218-244 / task_scheduler.hpp:388-392.
+
+Everything below is declarative; Catalyst supplies partial (map-side)
+aggregation, hash-agg with sort-based spill fallback, and AQE partition
+coalescing — the reference implements each of these by hand
+(sorting_count.hpp:1028-1305).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kmtricks_spark.config import KmConfig
+from kmtricks_spark.functions.hashing import part_id_col
+from kmtricks_spark.functions.shingles import kgram_partials_arrow, kgrams_sql
+
+
+def count_kgrams(df: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Exact counts: (part_id, sample_id, kgram, count), count >= hard_min.
+
+    method='arrow' pre-counts inside the scan task (super-k-mer-style
+    shuffle compression), 'sql' explodes shingles and relies on Spark's
+    partial aggregation; 'auto' = arrow (byte-exact, lowest shuffle).
+    """
+    method = cfg.method if cfg.method != "auto" else "arrow"
+    if method == "arrow":
+        partials = kgram_partials_arrow(df, cfg)
+        counts = partials.groupBy("part_id", "sample_id", "kgram").agg(
+            F.sum("pcount").alias("count")
+        )
+    else:
+        shingles = kgrams_sql(df, cfg)
+        counts = (
+            shingles.groupBy("sample_id", "kgram")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("part_id", part_id_col(F.col("kgram"), cfg.nb_partitions))
+        )
+    counts = counts.where(F.col("count") >= cfg.hard_min)
+    if cfg.max_count:
+        counts = counts.withColumn(
+            "count", F.least(F.col("count"), F.lit(cfg.max_count)).cast("long")
+        )
+    return counts.select("part_id", "sample_id", "kgram", "count")
+
+
+def histogram(counts: DataFrame) -> DataFrame:
+    """Per-sample count-of-counts (histogram.hpp:34-207).
+
+    Returns (sample_id, count, n_unique, n_total): n_unique distinct
+    kgrams observed `count` times; n_total = count * n_unique.
+    """
+    return counts.groupBy("sample_id", "count").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.count(F.lit(1)) * F.col("count")).alias("n_total"),
+    )
+
+
+def thresholds_from_histogram(hist: DataFrame, fraction: float) -> DataFrame:
+    """Float soft-min path: per-sample threshold t such that kgrams with
+    count <= t cover `fraction` of that sample's unique kgrams
+    (histogram.hpp:218-244 compute_merge_thresholds).
+
+    Returns (sample_id, threshold): smallest count value whose cumulative
+    unique share is >= fraction.
+    """
+    w_cum = (
+        "sum(n_unique) over (partition by sample_id order by count "
+        "rows between unbounded preceding and current row)"
+    )
+    w_tot = "sum(n_unique) over (partition by sample_id)"
+    ranked = hist.select(
+        "sample_id",
+        "count",
+        F.expr(w_cum).alias("cum_unique"),
+        F.expr(w_tot).alias("tot_unique"),
+    ).where(F.col("cum_unique") >= F.lit(fraction) * F.col("tot_unique"))
+    return ranked.groupBy("sample_id").agg(F.min("count").alias("threshold"))
