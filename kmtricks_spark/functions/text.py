@@ -1,0 +1,94 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. These are
+the web-text operators a 100 TB curation pipeline runs over every document
+— they must never leave whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio language
+# heuristic. Deterministic, self-contained (no external models).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "y", "que", "un", "una", "es", "en", "por"],
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: length band, type-token ratio,
+    mean word length band. Score in [0,1], rounded for stability."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1.0))
+    nolen = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    awl = nolen / F.greatest(n_tokens, F.lit(1.0))
+    len_ok = (F.length(text_col) >= 20) & (F.length(text_col) <= 100000)
+    awl_ok = (awl >= 2.0) & (awl <= 12.0)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(awl_ok, 0.3).otherwise(0.0)
+        + F.least(ttr, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(awl, 6).alias("avg_word_len"),
+    )
+
+
+def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language hit counts,
+    'und' (undetermined) when all zero. Ties broken by language code order."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hits = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(lang)
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *hits)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(l) for l in langs])
+    guess = F.when(best <= 0, F.lit("und"))
+    for l in langs:
+        guess = guess.when(F.col(l) == best, F.lit(l))
+    return scored.select(id_col, guess.alias("lang_guess"), best.alias("stopword_hits"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup fingerprint: md5 hex of the text bytes (portable to any
+    SQL oracle), plus xxhash64 for cheap 64-bit joins."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.xxhash64(F.col(text_col)).alias("fp64"),
+    )

@@ -1,0 +1,180 @@
+"""Bloom-filter stage: windowed hashing -> per-(sample, partition) slices
+-> per-sample global filters, plus bft/bfc variants and the FPR report.
+
+Reference parity (SURVEY §2 A6/A9/P8/P11/P13, S7):
+* hash-mode counts   — groupBy over the windowed hash (sorting_count.hpp:
+  365-533, 908-997); collisions inside a window merge, as in the ref.
+* bf slices          — HashVecProcessor BITSET per hash (count_processor.
+  hpp:84-120) as a grouped-map bitmap build.
+* per-sample concat  — howde-style: sample filter = ordered concat of its
+  partition windows (howde_utils.hpp:133-185); zero windows for absent
+  partitions (merge.hpp:575-600).
+* bft                — per-partition bit transpose to sample-major rows
+  (merge.hpp:631-644, bitmatrix.hpp:209-242).
+* bfc                — ceil(log2(c+1)) packed w-bit cells (packc.hpp:16-43).
+* fpr                — (1-e^{-n/m}) per (sample, partition) (utils.hpp:
+  239-243, task.hpp:849-860).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kmtricks_spark.config import KmConfig
+from kmtricks_spark.functions.hashing import windowed_hash_col
+from kmtricks_spark.sketches import bloom
+
+
+def hash_counts(counts: DataFrame, cfg: KmConfig) -> DataFrame:
+    """(part_id, sample_id, hash_idx, count) — hash-mode aggregation.
+
+    hash_idx is GLOBAL: (xxhash64(kgram) % w) + w*part_id, so every
+    downstream artifact is window-anchored and concatenable.
+    """
+    w = cfg.window_bits
+    h = counts.select(
+        "part_id",
+        "sample_id",
+        windowed_hash_col(F.col("kgram"), w, F.col("part_id")),
+        "count",
+    )
+    return h.groupBy("part_id", "sample_id", "hash_idx").agg(F.sum("count").alias("count"))
+
+
+_SLICE_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType()),
+        StructField("sample_id", StringType()),
+        StructField("n_set", LongType()),
+        StructField("bitmap", BinaryType()),
+    ]
+)
+
+
+def bf_slices(hcounts: DataFrame, cfg: KmConfig, min_count: int = 1) -> DataFrame:
+    """One Bloom window per (partition, sample): (part_id, sample_id,
+    n_set, bitmap). Grouped-map build, one numpy pass per group."""
+    w = cfg.window_bits
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part, sample = key
+        sel = pdf[pdf["count"] >= min_count]
+        local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
+        state = bloom.create(w)
+        bloom.add_local_indices(state, local)
+        return pd.DataFrame(
+            [(part, sample, len(np.unique(local)), state.tobytes())],
+            columns=["part_id", "sample_id", "n_set", "bitmap"],
+        )
+
+    return hcounts.groupBy("part_id", "sample_id").applyInPandas(build, _SLICE_SCHEMA)
+
+
+def bf_concat(slices: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Per-sample global filter = slices ordered by part_id, zero-filled.
+
+    (sample_id, total_set, filter binary of window_bytes * P).
+    """
+    P, w = cfg.nb_partitions, cfg.window_bits
+    schema = StructType(
+        [
+            StructField("sample_id", StringType()),
+            StructField("total_set", LongType()),
+            StructField("filter", BinaryType()),
+        ]
+    )
+
+    def concat(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_part = {int(p): bytes(b) for p, b in zip(pdf["part_id"], pdf["bitmap"])}
+        blob = bloom.concat_slices(by_part, P, w)
+        return pd.DataFrame(
+            [(key[0], int(pdf["n_set"].sum()), blob)],
+            columns=["sample_id", "total_set", "filter"],
+        )
+
+    return slices.groupBy("sample_id").applyInPandas(concat, schema)
+
+
+def bft_slices(hcounts: DataFrame, samples: list[str], cfg: KmConfig, min_count: int = 1) -> DataFrame:
+    """Transposed build: per partition, hash-major bit matrix flipped to
+    sample-major rows. Output equals bf_slices row-for-row (the reference
+    writes both layouts from one matrix; bitmatrix transpose ≙ numpy
+    packbits on the transposed presence matrix)."""
+    w = cfg.window_bits
+    s_index = {s: i for i, s in enumerate(samples)}
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = key[0]
+        sel = pdf[pdf["count"] >= min_count]
+        local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
+        cols = sel["sample_id"].map(s_index).to_numpy(dtype=np.int64)
+        mat = np.zeros((w, len(samples)), dtype=np.uint8)
+        mat[local, cols] = 1
+        packed = bloom.transpose_bits(mat)  # (n_samples, w/8)
+        rows = [
+            (part, s, int(mat[:, i].sum()), packed[i].tobytes())
+            for s, i in s_index.items()
+            if mat[:, i].any()
+        ]
+        return pd.DataFrame(rows, columns=["part_id", "sample_id", "n_set", "bitmap"])
+
+    return hcounts.groupBy("part_id").applyInPandas(build, _SLICE_SCHEMA)
+
+
+_BFC_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType()),
+        StructField("sample_id", StringType()),
+        StructField("packed", BinaryType()),
+    ]
+)
+
+
+def bfc_slices(hcounts: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Counting-BF window: w-bit cells of ceil(log2(c+1)), capped."""
+    w, width = cfg.window_bits, cfg.bfc_width
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part, sample = key
+        local = pdf["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
+        cells = np.zeros(w, dtype=np.int64)
+        np.add.at(cells, local, pdf["count"].to_numpy(dtype=np.int64))
+        packed = bloom.pack_counts(cells, width)
+        return pd.DataFrame(
+            [(part, sample, packed.tobytes())], columns=["part_id", "sample_id", "packed"]
+        )
+
+    return hcounts.groupBy("part_id", "sample_id").applyInPandas(build, _BFC_SCHEMA)
+
+
+def fpr_report(slices: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Per (sample, partition) FPR from the analytic model (k=1 hash)."""
+    w = cfg.window_bits
+    return slices.select(
+        "part_id",
+        "sample_id",
+        "n_set",
+        F.round(
+            F.lit(1.0) - F.exp(-F.col("n_set").cast("double") / F.lit(float(w))), 9
+        ).alias("fpr"),
+    )
+
+
+def bf_contains(filter_blob: bytes, kgram_hashes_global: np.ndarray) -> np.ndarray:
+    """Driver-side membership probe on a concatenated per-sample filter."""
+    state = np.frombuffer(filter_blob, dtype=np.uint8)
+    return bloom.contains_local(state, kgram_hashes_global.astype(np.int64))

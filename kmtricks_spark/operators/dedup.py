@@ -1,0 +1,256 @@
+"""Deduplication operators for web-scale training-data curation.
+
+Exact dedup is a hash group-by; near-dup comes in three flavors —
+MinHash+LSH (Jaccard over shingle sets), SimHash (Hamming over weighted
+token hashes), and exact n-gram Jaccard (the verifier / small-scale
+oracle). All signature computation is Arrow-vectorized (mapInPandas +
+numpy); candidate generation is a self-join on band/bucket keys so the
+pair space never materializes as N² — the property that matters at 10^12
+documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from kmtricks_spark.functions.hashing import hash64_np
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical text.
+
+    Returns (fingerprint, keep_id, n_dups). groupBy(md5) — a single
+    shuffle on the 128-bit fingerprint, no skew (hashes are uniform).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+def _minhash_schema(id_type=LongType()):
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature over byte `shingle_k`-grams.
+
+    One base hash per shingle (vectorized), then `num_hashes` universal-
+    hash remixes h_i = a_i*h + b_i (mod 2^64) reduced by min — standard
+    one-permutation-free construction, all numpy."""
+    rng = np.random.default_rng(42)
+    A = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if b.size < shingle_k:
+                    h = np.array([np.uint64(0)], dtype=np.uint64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
+                    h = np.unique(hash64_np(win))
+                with np.errstate(over="ignore"):
+                    # (num_hashes, n_shingles) min over shingles
+                    sig = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
+                ids.append(did)
+                sigs.append(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        gen, schema=_minhash_schema()
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 32, rows_per_band: int = 4, min_jaccard: float = 0.5
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidates; the
+    estimated Jaccard (matching signature fraction) filters the pairs.
+
+    Returns (a, b, est_jaccard), a < b. The band self-join shuffles on
+    (band, bucket_hash) — cardinality ~documents×bands, never N².
+    """
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("sig"),
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    ).cast("string"),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    l = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")
+    )
+    r = banded.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        l.join(r, ["band", "bucket"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
+        )
+        / F.size("sig_a")
+    ).alias("est_jaccard")
+    return cand.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
+        F.col("est_jaccard") >= min_jaccard
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized bit-vote)."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitcols = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, out = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = txt.split()
+                if not toks:
+                    ids.append(did)
+                    out.append(0)
+                    continue
+                hs = _token_hashes(toks)
+                bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                val = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        val |= np.uint64(1) << np.uint64(i)
+                ids.append(did)
+                out.append(np.int64(val.astype(np.uint64).view(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return df.select(F.col(id_col), text_col).mapInPandas(gen, schema=schema)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes (length-prefixed concat buffer)."""
+    enc = [t.encode("utf-8") for t in toks]
+    maxlen = max(len(e) for e in enc)
+    arr = np.zeros((len(enc), maxlen + 1), dtype=np.uint8)
+    for i, e in enumerate(enc):
+        arr[i, 0] = len(e) % 251
+        arr[i, 1 : 1 + len(e)] = np.frombuffer(e, dtype=np.uint8)
+    return hash64_np(arr)
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair with
+    hamming <= 3 shares at least one exact chunk), verify exact distance.
+
+    Returns (a, b, hamming), a < b."""
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    r = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    cand = (
+        l.join(r, ["chunk_idx", "chunk"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    return cand.select("a", "b", ham).where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing >= 1 n-gram.
+
+    |A∩B| via a self-join on distinct n-grams (inverted-index shape:
+    shuffle on the n-gram, pairs generated only inside posting lists);
+    |A∪B| = |A|+|B|−|A∩B|. Returns (a, b, jaccard) with a < b.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    l = grams.select(F.col("gram"), F.col("doc_id").alias("a"))
+    r = grams.select(F.col("gram"), F.col("doc_id").alias("b"))
+    inter = (
+        l.join(r, "gram").where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+    )
+    return j.where(F.col("jaccard") >= min_jaccard).select("a", "b", "jaccard")

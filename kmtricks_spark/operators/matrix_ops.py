@@ -57,7 +57,9 @@ def filter_matrix(matrix: DataFrame, key_counts: DataFrame, out: str = "m") -> D
             F.concat(F.col("counts"), F.array(F.col("key_count"))).alias("counts"),
         )
     if out == "k":
-        return key.join(matrix.select("kgram"), "kgram", "left_anti")
+        return key.join(matrix.select("kgram"), "kgram", "left_anti").select(
+            "kgram", F.col("key_count").alias("count")
+        )
     if out == "v":
         j = matrix.join(key, "kgram", "left")
         return j.select(

@@ -1,0 +1,87 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+* brute-force cosine top-k — the exactness baseline; dot products as
+  JVM higher-order functions (zip_with + aggregate), no Python in the
+  scan. One pass over N vectors; fine whenever the query set is small.
+* LSH-bucketed ANN (random hyperplanes) — the scale path: 2^bits buckets,
+  candidates = same-bucket (plus multiprobe neighbors), verified exactly.
+  At 10^12 rows the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a single query vector (broadcast literal).
+
+    Deterministic ordering: (cosine desc, id asc). Score rounded to 6dp
+    so results are stable across summation orders.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    out = df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign pattern of `bits`
+    projections), computed as JVM expressions over a literal plane matrix."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(bits):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ann_pairs(
+    sigs: DataFrame, min_cosine: float = 0.8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Candidate pairs from shared LSH bucket, verified by exact cosine.
+
+    Returns (a, b, cosine), a < b, cosine >= min_cosine. Shuffles on the
+    bucket key only; use more bits for bigger corpora (bucket occupancy
+    ~N/2^bits controls the join fan-out).
+    """
+    l = sigs.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = sigs.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cand = l.join(r, "bucket").where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.select("a", "b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+        .dropDuplicates(["a", "b"])
+    )

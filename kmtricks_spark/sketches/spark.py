@@ -1,0 +1,136 @@
+"""Spark glue for the sketch kernels: partial -> merge -> final.
+
+Shape (the same contract a JVM Aggregator would have, but Arrow-side):
+
+1. ``sketch_partials``: mapInPandas — each task turns its Arrow batches
+   into one payload per (group x batch). Raw rows never shuffle; only
+   fixed-size payloads do. Inputs are a 64-bit hash column for hll/cms
+   (compute it JVM-side with F.xxhash64 so the scan stays in codegen) or
+   a numeric column for kll/tdigest.
+2. ``sketch_merge``: groupBy(group).applyInPandas — associative payload
+   merge to one row per group. For very high-cardinality groups add an
+   intermediate salted merge level; payload counts are tiny (tasks x
+   groups), so a single reduce level is usually right.
+3. finalize helpers (estimate / quantiles) as scalar pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from kmtricks_spark.sketches import cms, hll, kll, tdigest
+
+
+class _Adapter:
+    def __init__(self, mod, hashed: bool, add):
+        self.mod, self.hashed, self._add = mod, hashed, add
+
+    def build(self, values: np.ndarray, params: dict):
+        st = self.mod.create(**params)
+        return self._add(self.mod, st, values)
+
+    def merge_payloads(self, payloads: list[bytes]) -> bytes:
+        state = self.mod.deserialize(payloads[0])
+        for p in payloads[1:]:
+            state = self.mod.merge(state, self.mod.deserialize(p))
+        return self.mod.serialize(state)
+
+
+def _add_hashed(mod, st, vals):
+    return mod.add_hashes(st, vals.astype(np.int64).view(np.uint64))
+
+
+def _add_float(mod, st, vals):
+    return mod.add_values(st, vals.astype(np.float64))
+
+
+ADAPTERS = {
+    "hll": _Adapter(hll, True, _add_hashed),
+    "cms": _Adapter(cms, True, _add_hashed),
+    "kll": _Adapter(kll, False, _add_float),
+    "tdigest": _Adapter(tdigest, False, _add_float),
+}
+
+
+def sketch_partials(
+    df: DataFrame, group_cols: list[str], value_col: str, kind: str, **params
+) -> DataFrame:
+    """One payload row per (group, Arrow batch): (group..., payload)."""
+    ad = ADAPTERS[kind]
+    fields = [df.schema[c] for c in group_cols]
+    schema = StructType(list(fields) + [StructField("payload", BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, grp in pdf.groupby(group_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                st = ad.build(grp[value_col].to_numpy(), params)
+                rows.append((*key, ad.mod.serialize(st)))
+            yield pd.DataFrame(rows, columns=group_cols + ["payload"])
+
+    return df.select(*group_cols, value_col).mapInPandas(gen, schema=schema)
+
+
+def sketch_merge(partials: DataFrame, group_cols: list[str], kind: str) -> DataFrame:
+    """Reduce payloads to one per group (associative merge)."""
+    ad = ADAPTERS[kind]
+    schema = StructType(
+        [partials.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
+    )
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = ad.merge_payloads(list(pdf["payload"]))
+        return pd.DataFrame([(*key, merged)], columns=group_cols + ["payload"])
+
+    return partials.groupBy(*group_cols).applyInPandas(reduce_group, schema=schema)
+
+
+def sketch_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, kind: str, **params
+) -> DataFrame:
+    """partials + merge in one call: one payload row per group."""
+    return sketch_merge(sketch_partials(df, group_cols, value_col, kind, **params), group_cols, kind)
+
+
+# ------------------------------------------------------------- finalizers
+
+def hll_estimate_col(payload_col: str = "payload"):
+    @F.pandas_udf(DoubleType())
+    def _est(p: pd.Series) -> pd.Series:
+        return p.map(lambda b: float(hll.estimate(hll.deserialize(b))))
+
+    return _est(F.col(payload_col))
+
+
+def kll_quantiles_col(qs: list[float], payload_col: str = "payload"):
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _q(p: pd.Series) -> pd.Series:
+        return p.map(lambda b: [kll.quantile(kll.deserialize(b), q) for q in qs])
+
+    return _q(F.col(payload_col))
+
+
+def tdigest_quantiles_col(qs: list[float], payload_col: str = "payload"):
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _q(p: pd.Series) -> pd.Series:
+        return p.map(lambda b: [tdigest.quantile(tdigest.deserialize(b), q) for q in qs])
+
+    return _q(F.col(payload_col))
+
+
+def cms_query_driver(payload: bytes, hashes: np.ndarray) -> np.ndarray:
+    """Point queries against a collected CMS payload (driver-side)."""
+    return cms.query(cms.deserialize(payload), hashes.astype(np.int64).view(np.uint64))
