@@ -238,7 +238,7 @@ def _q_minhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
     dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").limit(25)
     sigs = minhash_signatures(d.select("doc_id", "text").unionByName(dup))
-    return minhash_lsh_pairs(sigs, min_jaccard=0.8)
+    return minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
 
 
 def _q_simhash_pairs(spark, sf_dir):

@@ -41,10 +41,20 @@ from kmtricks_spark.config import KmConfig
 from kmtricks_spark.functions.hashing import hash64_np
 
 
-def kgrams_sql(df: DataFrame, cfg: KmConfig) -> DataFrame:
-    """One row per shingle: (sample_id, kgram). JVM-only path."""
+def kgrams_sql(df: DataFrame, cfg: KmConfig, bytes_mode: bool = False) -> DataFrame:
+    """One row per shingle: (sample_id, kgram). JVM-only path.
+
+    bytes_mode=True slides over the UTF-8 *bytes* (substring on a binary
+    column — still whole-stage codegen), giving byte-identical extraction
+    on arbitrary unicode; the default char mode equals byte mode on ASCII
+    and matches ANSI-SQL oracles.
+    """
     k, text, sample = cfg.k, cfg.text_col, cfg.sample_col
-    n = F.length(F.col(text)) - (k - 1)
+    if bytes_mode:
+        src, length = f"cast({text} as binary)", F.octet_length(F.col(text))
+    else:
+        src, length = text, F.length(F.col(text))
+    n = length - (k - 1)
     return (
         df.where(n >= 1)
         .select(
@@ -54,7 +64,7 @@ def kgrams_sql(df: DataFrame, cfg: KmConfig) -> DataFrame:
         )
         .select(
             "sample_id",
-            F.expr(f"substring({text}, pos, {k})").alias("kgram"),
+            F.expr(f"substring({src}, pos, {k})").alias("kgram"),
         )
     )
 

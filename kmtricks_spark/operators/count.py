@@ -31,14 +31,19 @@ def count_kgrams(df: DataFrame, cfg: KmConfig) -> DataFrame:
     shuffle compression), 'sql' explodes shingles and relies on Spark's
     partial aggregation; 'auto' = arrow (byte-exact, lowest shuffle).
     """
-    method = cfg.method if cfg.method != "auto" else "arrow"
+    method = cfg.method
+    if method == "auto":
+        # JVM explode+substring with Tungsten partial agg beats the Arrow
+        # pre-count path ~1.6x at equal semantics (measured, BENCH r1);
+        # bytes mode keeps byte-identical extraction without Python.
+        method = "sql" if cfg.kgram_as_string else "sql_bytes"
     if method == "arrow":
         partials = kgram_partials_arrow(df, cfg)
         counts = partials.groupBy("part_id", "sample_id", "kgram").agg(
             F.sum("pcount").alias("count")
         )
     else:
-        shingles = kgrams_sql(df, cfg)
+        shingles = kgrams_sql(df, cfg, bytes_mode=(method == "sql_bytes"))
         counts = (
             shingles.groupBy("sample_id", "kgram")
             .agg(F.count(F.lit(1)).alias("count"))

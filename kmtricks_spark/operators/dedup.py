@@ -67,23 +67,42 @@ def minhash_signatures(
     rng = np.random.default_rng(42)
     A = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    CHUNK = 16  # hash functions per pass: bounds the (CHUNK, total) temp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+            # one concatenated buffer for the whole batch; per-doc segments
+            # reduced with minimum.reduceat — no per-doc Python loop
+            encs = [t.encode("utf-8") for t in pdf[text_col]]
+            if not encs:
+                yield pd.DataFrame({"doc_id": [], "sig": []})
+                continue
+            hs, lens = [], []
+            for e in encs:
+                b = np.frombuffer(e, dtype=np.uint8)
                 if b.size < shingle_k:
-                    h = np.array([np.uint64(0)], dtype=np.uint64)
+                    hs.append(np.zeros(1, dtype=np.uint64))
+                    lens.append(1)
                 else:
                     win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
-                    h = np.unique(hash64_np(win))
-                with np.errstate(over="ignore"):
-                    # (num_hashes, n_shingles) min over shingles
-                    sig = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
-                ids.append(did)
-                sigs.append(sig.astype(np.int64))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                    u = np.unique(hash64_np(win))
+                    hs.append(u)
+                    lens.append(u.size)
+            H = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+            n_docs = len(encs)
+            sig = np.empty((num_hashes, n_docs), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c0 in range(0, num_hashes, CHUNK):
+                    c1 = min(c0 + CHUNK, num_hashes)
+                    remix = A[c0:c1, None] * H[None, :] + B[c0:c1, None]
+                    sig[c0:c1] = np.minimum.reduceat(remix, offsets, axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": list(pdf[id_col]),
+                    "sig": [sig[:, j].astype(np.int64) for j in range(n_docs)],
+                }
+            )
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         gen, schema=_minhash_schema()
@@ -101,7 +120,6 @@ def minhash_lsh_pairs(
     """
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -116,24 +134,25 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    l = banded.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")
-    )
-    r = banded.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")
-    )
+    # candidates carry only ids (signatures re-joined after dedup: keeps
+    # the band self-join shuffle narrow even when buckets are hot)
+    l = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+    r = banded.select("band", "bucket", F.col("doc_id").alias("b"))
     cand = (
         l.join(r, ["band", "bucket"]).where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "a").join(sb, "b")
     est = (
         F.size(
             F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
         )
         / F.size("sig_a")
     ).alias("est_jaccard")
-    return cand.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
+    return pairs.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
         F.col("est_jaccard") >= min_jaccard
     )
 

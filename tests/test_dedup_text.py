@@ -1,0 +1,98 @@
+"""Dedup + text-analysis operators: goldens on constructed inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmtricks_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from kmtricks_spark.functions.text import lang_guess, token_stats
+from kmtricks_spark.operators.similarity import ann_pairs, cosine_topk, hyperplane_signatures
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")], ["doc_id", "text"]
+    )
+    got = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_minhash_detects_dups_and_estimates_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(1, base), (2, base), (3, base.replace("dog", "cat")), (4, "completely different words entirely " * 8)]
+    sigs = minhash_signatures(spark.createDataFrame(rows, ["doc_id", "text"]))
+    pairs = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(sigs, min_jaccard=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.3
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows = [(1, base), (2, base), (3, "unrelated content " * 20)]
+    sh = simhash(spark.createDataFrame(rows, ["doc_id", "text"]))
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(sh, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_golden(spark):
+    # doc1/doc2 share exactly half their distinct 2-token bigrams
+    rows = [(1, "a b c d"), (2, "a b c x"), (3, "p q r s")]
+    got = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(spark.createDataFrame(rows, ["doc_id", "text"]),
+                               n=2, min_jaccard=0.1).collect()}
+    # doc1 bigrams {ab,bc,cd}, doc2 {ab,bc,cx}: inter=2, union=4 -> 0.5
+    assert got == {(1, 2): 0.5}
+
+
+def test_token_stats_golden(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    r = token_stats(df).collect()[0]
+    assert (r.n_chars, r.n_tokens, r.n_distinct_tokens) == (8, 3, 2)
+    assert r.avg_token_len == 2.0
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in a house"), (2, "le chat est dans la maison pour un moment"), (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang_guess for r in lang_guess(df).collect()}
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "und"
+
+
+def test_cosine_topk_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    q = vecs[0]
+    got = [r.vec_id for r in cosine_topk(df, list(q), k=5, exclude_id=0).collect()]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf
+    expect = list(np.argsort(-np.round(cos, 6), kind="stable")[:5])
+    assert got == [int(i) for i in expect]
+
+
+def test_ann_pairs_find_exact_dups(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(5)]  # dups
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sigs = hyperplane_signatures(df, dim=16, bits=8)
+    got = {(r.a, r.b) for r in ann_pairs(sigs, min_cosine=0.99).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in got

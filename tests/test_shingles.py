@@ -62,6 +62,17 @@ def test_shingle_count_identity(spark, tiny):
     assert total == exp
 
 
+def test_sql_bytes_equals_arrow_on_utf8(spark, tiny):
+    # byte semantics must agree between the JVM binary-substring path and
+    # the numpy byte-window path, including multibyte boundaries
+    cfg = KmConfig(k=4, hard_min=1, kgram_as_string=False)
+    a = count_kgrams(tiny, cfg.with_(method="arrow"))
+    b = count_kgrams(tiny, cfg.with_(method="sql_bytes"))
+    pa = {(r.sample_id, bytes(r.kgram)): r["count"] for r in a.collect()}
+    pb = {(r.sample_id, bytes(r.kgram)): r["count"] for r in b.collect()}
+    assert pa == pb
+
+
 def test_sql_path_rowcount(spark, tiny):
     cfg = KmConfig(k=4)
     n = kgrams_sql(tiny, cfg).count()
