@@ -1,0 +1,130 @@
+"""Partitioning: static hash, frequency-sampled skew-aware map, salting.
+
+Reference parity (SURVEY §2.3):
+* R3 static: part = XXH64(key) % P (repartition.hpp:45-56) — the cheap
+  default; uniform for hashed keys.
+* R2 sampled: kmtricks samples minimizer frequencies and balances
+  partitions by estimated load (task.hpp:183-199). Web-text shingles are
+  Zipfian — far more skewed than genomic minimizers — so this is the
+  load-bearing scale feature: sample key frequencies, greedily bin-pack
+  the top-H hot keys across partitions (LPT scheduling), hash the rest.
+* Salting: for aggregations whose per-key state is unbounded
+  (collect_list and friends), two-level agg with a salt column
+  (groupBy(key, salt) -> groupBy(key)). Plain counts don't need it —
+  Spark's map-side partial aggregation already collapses hot keys.
+
+The map is tiny (top-H keys only) and broadcast by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kmtricks_spark.functions.hashing import part_id_col
+
+
+def static_part(df: DataFrame, key: str, nb_partitions: int) -> DataFrame:
+    """R3: part_id = xxhash64(key) % P."""
+    return df.withColumn("part_id", part_id_col(F.col(key), nb_partitions))
+
+
+def sample_hot_keys(
+    df: DataFrame, key: str, nb_partitions: int, fraction: float = 0.05, top: int = 4096
+) -> list[tuple]:
+    """Frequency-sample the key column; return [(key_value, est_count)]
+    for the `top` heaviest keys (driver-side, tiny)."""
+    freq = (
+        df.sample(fraction=fraction, seed=42)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc())
+        .limit(top)
+    )
+    return [(r[key], r["freq"]) for r in freq.collect()]
+
+
+def build_balanced_map(hot: list[tuple], nb_partitions: int) -> dict:
+    """Greedy LPT bin-packing of hot keys onto partitions (the analogue of
+    GATB's 'unordered' repartitor), with SPLITTING: a key heavier than the
+    average partition load is fanned out over ceil(w/avg) partitions (its
+    rows are salted across them — partial aggregation makes the split
+    sound for counts/sketches). Returns {key_value: [part_id, ...]}."""
+    if not hot:
+        return {}
+    loads = [0.0] * nb_partitions
+    assign: dict = {}
+    avg = max(sum(w for _, w in hot) / nb_partitions, 1e-9)
+    for k, w in sorted(hot, key=lambda t: -t[1]):
+        splits = min(nb_partitions, max(1, int(-(-w // avg))))
+        ps = sorted(range(nb_partitions), key=loads.__getitem__)[:splits]
+        for p in ps:
+            loads[p] += w / splits
+        assign[k] = ps
+    return assign
+
+
+def skew_aware_part(
+    df: DataFrame,
+    key: str,
+    nb_partitions: int,
+    fraction: float = 0.05,
+    top: int = 4096,
+    hot_map: dict | None = None,
+) -> DataFrame:
+    """R2: hot keys routed by the sampled balanced map (heavy keys salted
+    across their assigned partition set), the long tail by static hash.
+    hot_map may be passed in (reuse across jobs — the --repart-from
+    analogue, task.hpp:136-147)."""
+    if hot_map is None:
+        hot_map = build_balanced_map(
+            sample_hot_keys(df, key, nb_partitions, fraction, top), nb_partitions
+        )
+    if not hot_map:
+        return static_part(df, key, nb_partitions)
+    pairs = []
+    for k, ps in hot_map.items():
+        pairs += [F.lit(k), F.array(*[F.lit(p) for p in ps])]
+    arr = F.element_at(F.create_map(*pairs), F.col(key))
+    salt_cols = [F.col(c) for c in df.columns]
+    picked = F.element_at(
+        arr, (F.pmod(F.xxhash64(*salt_cols, F.lit(11)), F.size(arr)) + 1).cast("int")
+    )
+    return df.withColumn(
+        "part_id",
+        F.coalesce(
+            picked, F.pmod(F.xxhash64(F.col(key)), F.lit(nb_partitions)).cast("int")
+        ).cast("int"),
+    )
+
+
+def with_salt(df: DataFrame, buckets: int, cols: list[str] | None = None) -> DataFrame:
+    """Deterministic salt in [0, buckets) from a hash of `cols` (default:
+    all columns) — NOT random, so retries/resume stay stable."""
+    cols = cols or df.columns
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(7)), F.lit(buckets)).cast("int")
+    )
+
+
+def two_level_count(df: DataFrame, keys: list[str], salt_buckets: int = 16) -> DataFrame:
+    """Skew-proof count: groupBy(keys, salt).count -> groupBy(keys).sum.
+
+    For plain counts Spark's partial agg usually suffices; use this when
+    a single key's rows would overflow one reducer's partition (Zipf-1
+    shingles at web scale) or when composing with order-sensitive state.
+    """
+    salted = with_salt(df, salt_buckets)
+    partial = salted.groupBy(*keys, "salt").agg(F.count(F.lit(1)).alias("pcount"))
+    return partial.groupBy(*keys).agg(F.sum("pcount").alias("count"))
+
+
+def partition_balance(df: DataFrame, part_col: str = "part_id") -> DataFrame:
+    """Load report: rows per partition + max/mean ratio (R5 analogue)."""
+    per = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("rows"))
+    stats = per.agg(
+        F.max("rows").alias("max_rows"),
+        F.avg("rows").alias("mean_rows"),
+        (F.max("rows") / F.avg("rows")).alias("imbalance"),
+    )
+    return stats

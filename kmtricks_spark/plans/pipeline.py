@@ -1,0 +1,140 @@
+"""Staged pipeline: extract/count -> histogram -> matrix/pa -> bloom.
+
+Mirrors `kmtricks pipeline` (task_scheduler.hpp:419-460, stages at
+§3.1 of SURVEY.md) with kmtricks' operational semantics:
+* every stage persists a parquet table + lineage JSON (resume = skip
+  complete stages — the module-command story, cmd.hpp:74-272);
+* `until` gates stages (--until, cli.cpp:265-273);
+* `restrict_to` processes a subset of partitions (--restrict-to,
+  task_scheduler.hpp:121-160) — partition pruning on part_id;
+* data-dependent soft-min: an optional histogram-quantile pass feeding
+  per-sample thresholds into the merge (histogram.hpp:218-244).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmtricks_spark.config import KmConfig
+from kmtricks_spark.operators.bloom_stage import bf_concat, bf_slices, fpr_report, hash_counts
+from kmtricks_spark.operators.count import count_kgrams, histogram, thresholds_from_histogram
+from kmtricks_spark.operators.merge import count_matrix, merge_stats, pa_matrix
+from kmtricks_spark.plans.lineage import stage_complete, write_lineage
+from kmtricks_spark.sources.pages import read_stage, write_stage
+
+STAGES = ("counts", "histogram", "matrix", "pa", "bloom")
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: KmConfig,
+        run_dir: str,
+        input_path: str,
+        until: str | None = None,
+        restrict_to: list[int] | None = None,
+        soft_min_quantile: float | None = None,
+    ):
+        if until is not None and until not in STAGES:
+            raise ValueError(f"until must be one of {STAGES}")
+        self.spark, self.cfg, self.run_dir = spark, cfg, run_dir
+        self.input_path = input_path
+        self.until = until
+        self.restrict_to = restrict_to
+        self.soft_min_quantile = soft_min_quantile
+        self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to}
+
+    # ---- helpers
+
+    def _done(self, stage: str) -> bool:
+        return stage_complete(self.spark, self.run_dir, stage, self._stage_params(stage))
+
+    def _stage_params(self, stage: str) -> dict:
+        return {**self._params, "stage": stage}
+
+    def _finish(self, stage: str, df: DataFrame, **extra):
+        write_lineage(self.run_dir, stage, self._stage_params(stage), df, **extra)
+
+    def _restrict(self, df: DataFrame) -> DataFrame:
+        if self.restrict_to is not None:
+            return df.where(F.col("part_id").isin(self.restrict_to))
+        return df
+
+    def _input(self) -> DataFrame:
+        df = self.spark.read.parquet(self.input_path)
+        if "source" not in df.columns and "url" in df.columns:
+            df = df.withColumn("source", F.col("url"))
+        return df
+
+    # ---- stages
+
+    def stage_counts(self):
+        if not self._done("counts"):
+            counts = count_kgrams(self._input(), self.cfg)
+            write_stage(counts, self.run_dir, "counts", partition_by=["part_id"])
+            self._finish("counts", read_stage(self.spark, self.run_dir, "counts"))
+
+    def stage_histogram(self):
+        if not self._done("histogram"):
+            counts = read_stage(self.spark, self.run_dir, "counts")
+            write_stage(histogram(counts), self.run_dir, "histogram")
+            self._finish(
+                "histogram", read_stage(self.spark, self.run_dir, "histogram"), part_col=None
+            )
+
+    def _merge_cfg(self) -> KmConfig:
+        cfg = self.cfg
+        if self.soft_min_quantile is not None:
+            hist = read_stage(self.spark, self.run_dir, "histogram")
+            th = thresholds_from_histogram(hist, self.soft_min_quantile)
+            overrides = {r.sample_id: int(r.threshold) for r in th.collect()}
+            cfg = cfg.with_(soft_min_by_sample=overrides)
+        return cfg
+
+    def _samples(self, counts: DataFrame) -> list[str]:
+        return sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
+
+    def stage_matrix(self):
+        if not self._done("matrix"):
+            counts = self._restrict(read_stage(self.spark, self.run_dir, "counts"))
+            cfg = self._merge_cfg()
+            m = count_matrix(counts, self._samples(counts), cfg)
+            write_stage(m, self.run_dir, "matrix", partition_by=["part_id"])
+            self._finish("matrix", read_stage(self.spark, self.run_dir, "matrix"))
+            write_stage(merge_stats(counts, cfg), self.run_dir, "merge_stats")
+
+    def stage_pa(self):
+        if not self._done("pa"):
+            counts = self._restrict(read_stage(self.spark, self.run_dir, "counts"))
+            cfg = self._merge_cfg()
+            p = pa_matrix(counts, self._samples(counts), cfg)
+            write_stage(p, self.run_dir, "pa", partition_by=["part_id"])
+            self._finish("pa", read_stage(self.spark, self.run_dir, "pa"))
+
+    def stage_bloom(self):
+        if not self._done("bloom"):
+            counts = self._restrict(read_stage(self.spark, self.run_dir, "counts"))
+            hc = hash_counts(counts, self.cfg)
+            slices = bf_slices(hc, self.cfg)
+            write_stage(slices, self.run_dir, "bloom", partition_by=["part_id"])
+            slices_r = read_stage(self.spark, self.run_dir, "bloom")
+            write_stage(bf_concat(slices_r, self.cfg), self.run_dir, "bloom_filters")
+            write_stage(fpr_report(slices_r, self.cfg), self.run_dir, "fpr")
+            self._finish("bloom", slices_r)
+
+    def run(self) -> dict[str, str]:
+        """Execute stages in order, skipping complete ones; stop at
+        `until`. Returns {stage: 'done'|'skipped'}."""
+        status = {}
+        for stage in STAGES:
+            was_done = self._done(stage)
+            getattr(self, f"stage_{stage}")()
+            status[stage] = "skipped" if was_done else "done"
+            if self.until == stage:
+                break
+        return status

@@ -1,0 +1,83 @@
+"""Structured Streaming variants of the counting pipeline.
+
+The reference is strictly batch (SURVEY §2.6); streaming is a
+north-rule-era addition for continuously-arriving page crawls. The same
+logical plan (shingle -> count) runs over readStream sources; sketch
+partials are naturally mergeable across micro-batches, and the windowed
+event aggregation shows watermarked late-data handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kmtricks_spark.config import KmConfig
+from kmtricks_spark.functions.shingles import kgrams_sql
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def stream_docs(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_counts(docs: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Continuous shingle counting (update-mode aggregate state)."""
+    shingles = kgrams_sql(docs, cfg)
+    return shingles.groupBy("sample_id", "kgram").agg(F.count(F.lit(1)).alias("count"))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event-time stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain the currently-available input into an in-memory table and
+    stop — the batch-equivalence test harness for streaming plans."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,170 @@
+"""Pipeline resume/lineage, partitioner, fof parsing, howde sink,
+streaming, multimodal plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kmtricks_spark import KmConfig
+from kmtricks_spark.operators.partitioner import (
+    build_balanced_map,
+    partition_balance,
+    skew_aware_part,
+    static_part,
+    two_level_count,
+)
+from kmtricks_spark.plans.lineage import read_lineage
+from kmtricks_spark.plans.pipeline import Pipeline
+from kmtricks_spark.sources.fof import parse_fof, soft_min_overrides
+from kmtricks_spark.sources.howde import BFHeader, read_bf_file, write_bf_file
+
+CFG = KmConfig(k=8, hard_min=2, soft_min=2, nb_partitions=8, bloom_bits=1 << 18)
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("run"))
+
+
+def test_pipeline_end_to_end_and_resume(spark, sf_dir, run_dir):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    pl = Pipeline(spark, CFG, run_dir, inp)
+    status = pl.run()
+    assert all(v == "done" for v in status.values()), status
+    for stage in ("counts", "matrix", "pa", "bloom"):
+        assert read_lineage(run_dir, stage)["output_rows"] > 0
+    # resume: everything skips
+    status2 = Pipeline(spark, CFG, run_dir, inp).run()
+    assert all(v == "skipped" for v in status2.values()), status2
+    # kill-after-stage: wipe matrix lineage -> only matrix reruns, output identical
+    before = read_lineage(run_dir, "matrix")["checksum"]
+    os.remove(os.path.join(run_dir, "_lineage", "matrix.json"))
+    status3 = Pipeline(spark, CFG, run_dir, inp).run()
+    assert status3["matrix"] == "done" and status3["counts"] == "skipped"
+    assert read_lineage(run_dir, "matrix")["checksum"] == before
+
+
+def test_pipeline_until_and_restrict(spark, sf_dir, tmp_path):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "r2")
+    status = Pipeline(spark, CFG, rd, inp, until="counts").run()
+    assert status == {"counts": "done"}
+    rd3 = str(tmp_path / "r3")
+    pl = Pipeline(spark, CFG, rd3, inp, restrict_to=[0, 1])
+    pl.run()
+    m = spark.read.parquet(os.path.join(rd3, "matrix"))
+    parts = {r.part_id for r in m.select("part_id").distinct().collect()}
+    assert parts <= {0, 1}
+
+
+def test_param_change_invalidates(spark, sf_dir, run_dir):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    status = Pipeline(spark, CFG.with_(soft_min=3), run_dir, inp, until="counts").run()
+    # counts params unchanged except soft_min (part of params dict) -> rerun
+    assert status["counts"] == "done"
+
+
+def test_static_vs_skew_partitioner_balance(spark):
+    # Zipfian keys: static hash puts the hot key in one partition;
+    # the sampled map must spread load better
+    n = 20000
+    rows = [(i, f"k{min(int(np.random.default_rng(i).zipf(1.3)), 50)}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["i", "key"])
+    stat = partition_balance(static_part(df, "key", 8)).collect()[0]
+    skew = partition_balance(skew_aware_part(df, "key", 8, fraction=0.5)).collect()[0]
+    assert skew["imbalance"] <= stat["imbalance"] + 1e-9
+    assert skew["imbalance"] < 1.5  # hot keys split across partitions
+
+
+def test_skew_part_deterministic(spark):
+    df = spark.createDataFrame([(i, f"k{i % 17}") for i in range(1000)], ["i", "key"])
+    a = skew_aware_part(df, "key", 8, fraction=1.0).select("i", "key", "part_id")
+    b = skew_aware_part(df, "key", 8, fraction=1.0).select("i", "key", "part_id")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_balanced_map_spreads_hot_keys():
+    hot = [(f"k{i}", 1000 // (i + 1)) for i in range(20)]
+    m = build_balanced_map(hot, 4)
+    loads = [0.0] * 4
+    w = dict(hot)
+    for k, ps in m.items():
+        for p in ps:
+            loads[p] += w[k] / len(ps)
+    assert max(loads) / (sum(loads) / 4) < 1.5
+    # the dominant key must be split
+    assert len(m["k0"]) > 1
+
+
+def test_two_level_count_equals_plain(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(1000)], ["k"])
+    got = {r.k: r["count"] for r in two_level_count(df, ["k"], salt_buckets=8).collect()}
+    assert got == {i: 200 for i in range(5)}
+
+
+def test_fof_parse():
+    text = """
+    # comment
+    D1 : /a/b.parquet ; /a/c.parquet ! 3
+    D2 : /x.parquet
+    """
+    samples = parse_fof(text)
+    assert samples[0].sample_id == "D1" and samples[0].paths == ("/a/b.parquet", "/a/c.parquet")
+    assert samples[0].abundance_min == 3 and samples[1].abundance_min is None
+    assert soft_min_overrides(samples) == {"D1": 3}
+    with pytest.raises(ValueError):
+        parse_fof("D1 : /a\nD1 : /b")
+    with pytest.raises(ValueError):
+        parse_fof("justgarbage::!")
+
+
+def test_howde_roundtrip(tmp_path):
+    bits = np.random.default_rng(0).integers(0, 256, 1 << 10, dtype=np.uint8)
+    hdr = BFHeader(k=8, num_bits=bits.size * 8, nb_partitions=4, window_bits=(bits.size * 8) // 4, n_set=123)
+    p = str(tmp_path / "f.bf")
+    write_bf_file(p, hdr, bits.tobytes())
+    hdr2, bits2 = read_bf_file(p)
+    assert hdr2 == hdr and np.array_equal(bits2, bits)
+
+
+def test_streaming_counts_match_batch(spark, sf_dir, tmp_path):
+    from kmtricks_spark.operators.count import count_kgrams
+    from kmtricks_spark.streaming.count_stream import (
+        run_available_now,
+        stream_docs,
+        streaming_counts,
+    )
+
+    cfg = KmConfig(k=8, hard_min=1)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(100)
+    sdir = str(tmp_path / "stream_in")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(4).write.parquet(sdir)
+    stream = streaming_counts(stream_docs(spark, sdir, max_files=1), cfg)
+    q = run_available_now(stream, "sc1")
+    got = spark.sql("SELECT * FROM sc1")
+    batch = count_kgrams(spark.read.parquet(sdir), cfg).select("sample_id", "kgram", "count")
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    q.stop()
+
+
+def test_multimodal_plumbing(spark):
+    from kmtricks_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media, dim=32).collect()
+    assert len(feats) == 30 and all(len(r.feature) == 32 for r in feats)
+    # deterministic
+    f2 = {r.media_id: r.feature for r in extract_features(media, dim=32).collect()}
+    for r in feats:
+        assert f2[r.media_id] == r.feature
+    frames = frame_sample(media, every_ms=500)
+    assert frames.count() > 0
+    with pytest.raises(Exception):
+        extract_features(media, dim=32, decode_stub=False).collect()
