@@ -194,6 +194,58 @@ def _q_lineitem_agg(spark, sf_dir):
     )
 
 
+def _q_pa_long(spark, sf_dir):
+    # presence/absence semantics: every present count is solid
+    # (soft_min == hard_min), row kept iff present in >= 3 samples
+    cfg = CFG.with_(soft_min=2, recurrence_min=3, share_min=0)
+    counts = count_kgrams(_docs(spark, sf_dir), CFG)
+    return merged_long(counts, cfg).select(
+        "kgram", "sample_id", F.lit(1).alias("present")
+    )
+
+
+def _q_aggregate_sorted(spark, sf_dir):
+    counts = count_kgrams(_docs(spark, sf_dir), CFG)
+    samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
+    mcfg = CFG.with_(soft_min=1, recurrence_min=1, share_min=0)
+    m = count_matrix(counts, samples, mcfg)
+    return (
+        m.select(
+            "kgram",
+            F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
+        )
+        .orderBy("kgram")
+        .limit(1000)
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; session tz is UTC so epoch matches the oracle
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return marked.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _q_curation(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    q = quality_score(d).where(F.col("quality") >= 0.6)
+    joined = d.join(q.select("doc_id", "quality"), "doc_id")
+    kept = exact_dedup(joined, text_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    final = joined.join(kept, "doc_id")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("quality"), 6).alias("avg_quality")
+    )
+
+
 # ------------------------------------------------- rows-only (no oracle)
 
 def _q_hll_per_sample(spark, sf_dir):
@@ -277,6 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "events_hourly": _q_events_hourly,
         "lineitem_agg": _q_lineitem_agg,
+        "pa_matrix_long": _q_pa_long,
+        "aggregate_sorted": _q_aggregate_sorted,
+        "events_sessions": _q_events_sessions,
+        "curation_pipeline": _q_curation,
         # rows-only (approximate / non-SQL-expressible; bounds in tests/)
         "hll_per_sample": _q_hll_per_sample,
         "kll_quantiles": _q_kll_quantiles,
@@ -448,5 +504,47 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice), 2) AS sum_base_price,
                count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY 1, 2
+        """,
+        "pa_matrix_long": _SH
+        + """
+        , p AS (SELECT *, count(*) OVER (PARTITION BY kgram) AS n_samp FROM c)
+        SELECT kgram, sample_id, 1 AS present
+        FROM p WHERE n_samp >= 3
+        """,
+        "aggregate_sorted": _SH
+        + """
+        SELECT kgram, sum(count)::BIGINT AS total
+        FROM c GROUP BY kgram ORDER BY kgram LIMIT 1000
+        """,
+        "events_sessions": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               count(*) FILTER (WHERE gap IS NULL OR gap > 1800)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM g GROUP BY 1
+        """,
+        "curation_pipeline": """
+        WITH toks AS (
+          SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, lang, text,
+            round(
+              (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN length(replace(text, ' ', '')) / greatest(len(t), 1.0)
+                       BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+              + least(len(list_distinct(t)) / greatest(len(t), 1.0), 1.0) * 0.3, 6)
+              AS quality
+          FROM toks
+        ),
+        f AS (SELECT * FROM q WHERE quality >= 0.6),
+        kept AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+        SELECT lang, count(*)::BIGINT AS n_docs, round(avg(quality), 6) AS avg_quality
+        FROM f JOIN kept USING (doc_id) GROUP BY 1
         """,
     }

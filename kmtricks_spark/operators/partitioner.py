@@ -98,6 +98,34 @@ def skew_aware_part(
     )
 
 
+def save_partitioner(path: str, hot_map: dict, k: int, m: int, nb_partitions: int) -> None:
+    """Persist the sampled map for reuse across runs (--repart-from,
+    task.hpp:136-147,209-222): k, m, P recorded and checked on load."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {"k": k, "m": m, "nb_partitions": nb_partitions,
+             "hot_map": {str(kk): vv for kk, vv in hot_map.items()}},
+            f,
+        )
+
+
+def load_partitioner(path: str, k: int, m: int, nb_partitions: int) -> dict:
+    """Load a persisted map; raises on config mismatch (same as the
+    reference's compatibility check)."""
+    import json
+
+    with open(path) as f:
+        rec = json.load(f)
+    for name, want in (("k", k), ("m", m), ("nb_partitions", nb_partitions)):
+        if rec[name] != want:
+            raise ValueError(
+                f"partitioner {name} mismatch: run has {want}, file has {rec[name]}"
+            )
+    return rec["hot_map"]
+
+
 def with_salt(df: DataFrame, buckets: int, cols: list[str] | None = None) -> DataFrame:
     """Deterministic salt in [0, buckets) from a hash of `cols` (default:
     all columns) — NOT random, so retries/resume stay stable."""

@@ -69,6 +69,39 @@ def windowed_event_counts(
     )
 
 
+def streaming_hll(
+    docs: DataFrame, cfg: KmConfig, state: dict, ckpt_dir: str = "/tmp/kms_hll_ckpt"
+) -> "object":
+    """Continuous distinct-shingle cardinality per sample: each micro-batch
+    produces per-sample HLL payloads (partial -> merge inside the batch),
+    foreachBatch merges them into `state` {sample_id: hll registers}.
+
+    The sketch's associative merge is exactly what makes it
+    streaming-safe: batch boundaries don't change the result.
+    """
+    import numpy as np
+    from kmtricks_spark.sketches import hll
+    from kmtricks_spark.sketches.spark import sketch_agg
+
+    def on_batch(batch_df, batch_id):
+        shingles = kgrams_sql(batch_df, cfg)
+        hashed = shingles.select("sample_id", F.xxhash64("kgram").alias("h"))
+        rows = sketch_agg(hashed, ["sample_id"], "h", "hll", p=12).collect()
+        for r in rows:
+            st = hll.deserialize(bytes(r["payload"]))
+            prev = state.get(r["sample_id"])
+            state[r["sample_id"]] = st if prev is None else hll.merge(prev, st)
+
+    q = (
+        docs.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the currently-available input into an in-memory table and
     stop — the batch-equivalence test harness for streaming plans."""
