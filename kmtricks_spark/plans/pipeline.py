@@ -129,7 +129,13 @@ class Pipeline:
 
     def run(self) -> dict[str, str]:
         """Execute stages in order, skipping complete ones; stop at
-        `until`. Returns {stage: 'done'|'skipped'}."""
+        `until`. Returns {stage: 'done'|'skipped'}. Writes run_infos.json
+        (wall time + config — run_infos.txt analogue,
+        task_scheduler.hpp:453-457)."""
+        import json
+        import time
+
+        t0 = time.time()
         status = {}
         for stage in STAGES:
             was_done = self._done(stage)
@@ -137,4 +143,19 @@ class Pipeline:
             status[stage] = "skipped" if was_done else "done"
             if self.until == stage:
                 break
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(os.path.join(self.run_dir, "run_infos.json"), "w") as f:
+            json.dump(
+                {
+                    "wall_sec": round(time.time() - t0, 3),
+                    "status": status,
+                    "params": {k: str(v) for k, v in self._params.items()},
+                    "spark": {
+                        "version": self.spark.version,
+                        "shuffle_partitions": self.spark.conf.get("spark.sql.shuffle.partitions"),
+                    },
+                },
+                f,
+                indent=1,
+            )
         return status

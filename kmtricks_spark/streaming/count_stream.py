@@ -79,7 +79,6 @@ def streaming_hll(
     The sketch's associative merge is exactly what makes it
     streaming-safe: batch boundaries don't change the result.
     """
-    import numpy as np
     from kmtricks_spark.sketches import hll
     from kmtricks_spark.sketches.spark import sketch_agg
 
