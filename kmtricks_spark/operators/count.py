@@ -44,6 +44,10 @@ def count_kgrams(df: DataFrame, cfg: KmConfig) -> DataFrame:
         )
     else:
         shingles = kgrams_sql(df, cfg, bytes_mode=(method == "sql_bytes"))
+        if cfg.alphabet == "dna":
+            from kmtricks_spark.functions.dna import canonicalize_kgrams
+
+            shingles = canonicalize_kgrams(shingles)
         counts = (
             shingles.groupBy("sample_id", "kgram")
             .agg(F.count(F.lit(1)).alias("count"))
