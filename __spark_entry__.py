@@ -300,6 +300,13 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(sh, max_hamming=3)
 
 
+def _q_winnow_fp(spark, sf_dir):
+    from kmtricks_spark.functions.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=8, window=16)
+    return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+
+
 def _q_ann_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     # inject exact-duplicate vectors so the near-dup path has positives
@@ -342,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
+        "winnow_fingerprints": _q_winnow_fp,
     }
 
 
@@ -425,7 +433,9 @@ def oracle_sql() -> dict[str, str]:
                len({toks})::BIGINT AS n_tokens,
                len(list_distinct({toks}))::BIGINT AS n_distinct_tokens,
                round(length(replace(text, ' ', '')) /
-                     greatest(len({toks}), 1), 6) AS avg_token_len
+                     greatest(len({toks}), 1), 6) AS avg_token_len,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+                 AS n_subtokens
         FROM documents
         """,
         "quality_score": f"""

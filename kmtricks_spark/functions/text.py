@@ -27,8 +27,15 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, portable subset):
+# runs of letters, runs of digits, or a single non-space symbol.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)."""
+    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    n_subtokens). n_subtokens = BPE-ish pre-token count (regex runs),
+    the cheap proxy for LLM token cost."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     return df.select(
@@ -41,6 +48,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             / F.greatest(n_tokens, F.lit(1)),
             6,
         ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_subtokens"),
     )
 
 
@@ -92,3 +102,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.col(text_col)).alias("fingerprint"),
         F.xxhash64(F.col(text_col)).alias("fp64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS):
+    rolling k-gram hashes, keep the minimum of each sliding window of
+    `window` consecutive hashes -> (id, fp) rows, distinct per doc.
+
+    Two documents sharing enough selected fingerprints share content; the
+    fp column joins like an inverted index (same shape as the LSH band
+    join). Pure Column expressions: transform + slice + array_min.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    n_kgrams = F.length(c) - (k - 1)
+    # one row per k-gram hash (hash evaluated exactly once — an inline
+    # transform+slice formulation duplicates the hash array into every
+    # window lambda, an O(n*window) expression blowup; measured 20x slower)
+    sh = df.where(n_kgrams >= 1).select(
+        F.col(id_col),
+        n_kgrams.alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_kgrams),
+                lambda i: F.xxhash64(F.substring(c, i, k)),
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    mins = sh.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("_n"),
+        F.min("h").over(w).alias("fp"),
+    ).where(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))  # pos is 0-based
+    return mins.select(id_col, "fp").distinct()

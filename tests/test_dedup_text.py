@@ -68,6 +68,32 @@ def test_lang_guess(spark):
     assert got[1] == "en" and got[2] == "fr" and got[3] == "und"
 
 
+def test_token_stats_subtokens(spark):
+    df = spark.createDataFrame([(1, "hello, world42 !")], ["doc_id", "text"])
+    r = token_stats(df).collect()[0]
+    # hello , world 42 ! -> 5 BPE-ish pre-tokens
+    assert r.n_subtokens == 5
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from kmtricks_spark.functions.text import winnow_fingerprints
+
+    # winnowing guarantee: a shared run of >= window + k - 1 chars yields
+    # at least one shared fingerprint (Schleimer et al. theorem 1)
+    shared = "the common stretch of text that both documents contain entirely"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different beginning " + shared + " and another end"),
+        (3, "no overlap here at all with anything else whatsoever in text"),
+    ]
+    fps = winnow_fingerprints(spark.createDataFrame(rows, ["doc_id", "text"]), k=5, window=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+
 def test_cosine_topk_vs_numpy(spark):
     import numpy as np
 
