@@ -300,6 +300,52 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(sh, max_hamming=3)
 
 
+def _q_cms_word_freq(spark, sf_dir):
+    """Count-min heavy-hitter estimates for the corpus vocabulary: build
+    the CMS distributed (partial->merge payloads), probe the top words.
+    Guarantee under test: est >= exact, est - exact <= eps*N."""
+    from kmtricks_spark.sketches.spark import cms_query_driver, sketch_agg
+    import numpy as np
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    hashed = toks.select(F.lit("all").alias("g"), F.xxhash64("tok").alias("h"))
+    payload = bytes(sketch_agg(hashed, ["g"], "h", "cms", width=2719, depth=5).collect()[0]["payload"])
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "tok").limit(20).collect()
+    )
+    words = [r.tok for r in top]
+    hs = np.array(
+        [r.h for r in spark.createDataFrame([(w,) for w in words], ["tok"])
+         .select(F.xxhash64("tok").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    est = cms_query_driver(payload, hs)
+    rows = [(w, int(t.exact), int(e)) for w, t, e in zip(words, top, est)]
+    return spark.createDataFrame(rows, ["tok", "exact", "cms_est"])
+
+
+def _q_bfc_slices(spark, sf_dir):
+    from kmtricks_spark.operators.bloom_stage import bfc_slices
+
+    cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 18)
+    counts = count_kgrams(_docs(spark, sf_dir), cfg)
+    s = bfc_slices(hash_counts(counts, cfg), cfg)
+    return s.select("part_id", "sample_id", F.length("packed").alias("packed_bytes"))
+
+
+def _q_bft_slices(spark, sf_dir):
+    from kmtricks_spark.operators.bloom_stage import bft_slices
+
+    cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 18)
+    counts = count_kgrams(_docs(spark, sf_dir), cfg)
+    samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
+    s = bft_slices(hash_counts(counts, cfg), samples, cfg)
+    return s.select("part_id", "sample_id", "n_set", F.length("bitmap").alias("bitmap_bytes"))
+
+
 def _q_winnow_fp(spark, sf_dir):
     from kmtricks_spark.functions.text import winnow_fingerprints
 
@@ -350,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
         "winnow_fingerprints": _q_winnow_fp,
+        "cms_word_freq": _q_cms_word_freq,
+        "bfc_slices": _q_bfc_slices,
+        "bft_slices": _q_bft_slices,
     }
 
 
