@@ -192,8 +192,8 @@ def scaling_run(rep: int) -> dict:
 
     # larger input than the headline so fixed per-stage overhead (~1s of
     # scheduling/codegen) stays <5% of the 4N-core runtime
-    rep = rep * int(os.environ.get("BENCH_SCALING_MULT", "12"))
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    rep = rep * int(os.environ.get("BENCH_SCALING_MULT", "8"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     lo, hi = max(CPUS // 4, 2), CPUS
     have_taskset = shutil.which("taskset") is not None
     pre = get_spark(cores=CPUS, app="bench_materialize")
