@@ -2,8 +2,14 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as hyp_settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# reproducible CI: identical examples every run (no new random failures
+# between the driver's verify runs)
+hyp_settings.register_profile("ci", derandomize=True)
+hyp_settings.load_profile("ci")
 
 from kmtricks_spark import get_spark  # noqa: E402
 
