@@ -70,7 +70,7 @@ def bf_slices(hcounts: DataFrame, cfg: KmConfig, min_count: int = 1) -> DataFram
     n_set, bitmap). Grouped-map build, one numpy pass per group."""
     w = cfg.window_bits
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         part, sample = key
         sel = pdf[pdf["count"] >= min_count]
         local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
@@ -98,7 +98,7 @@ def bf_concat(slices: DataFrame, cfg: KmConfig) -> DataFrame:
         ]
     )
 
-    def concat(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def concat(key, pdf):
         by_part = {int(p): bytes(b) for p, b in zip(pdf["part_id"], pdf["bitmap"])}
         blob = bloom.concat_slices(by_part, P, w)
         return pd.DataFrame(
@@ -117,7 +117,7 @@ def bft_slices(hcounts: DataFrame, samples: list[str], cfg: KmConfig, min_count:
     w = cfg.window_bits
     s_index = {s: i for i, s in enumerate(samples)}
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         part = key[0]
         sel = pdf[pdf["count"] >= min_count]
         local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
@@ -148,7 +148,7 @@ def bfc_slices(hcounts: DataFrame, cfg: KmConfig) -> DataFrame:
     """Counting-BF window: w-bit cells of ceil(log2(c+1)), capped."""
     w, width = cfg.window_bits, cfg.bfc_width
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         part, sample = key
         local = pdf["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
         cells = np.zeros(w, dtype=np.int64)

@@ -91,7 +91,7 @@ def sketch_merge(partials: DataFrame, group_cols: list[str], kind: str) -> DataF
         [partials.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
     )
 
-    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(key, pdf):
         merged = ad.merge_payloads(list(pdf["payload"]))
         return pd.DataFrame([(*key, merged)], columns=group_cols + ["payload"])
 
