@@ -255,6 +255,29 @@ def _q_hll_per_sample(spark, sf_dir):
     return agg.select("sample_id", F.round(hll_estimate_col(), 2).alias("est_distinct"))
 
 
+def _q_hll_per_partition(spark, sf_dir):
+    """North rule: distinct-shingle cardinality per partition AND sample."""
+    counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1, nb_partitions=8))
+    hashed = counts.select("part_id", "sample_id", F.xxhash64("kgram").alias("h"))
+    agg = sketch_agg(hashed, ["part_id", "sample_id"], "h", "hll", p=12)
+    return agg.select(
+        "part_id", "sample_id", F.round(hll_estimate_col(), 2).alias("est_distinct")
+    )
+
+
+def _q_kll_count_dist(spark, sf_dir):
+    """North rule: count-distribution quantiles (how often do shingles of
+    each sample repeat) via KLL over the exact count column."""
+    counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1))
+    agg = sketch_agg(
+        counts.select("sample_id", F.col("count").cast("double").alias("c")),
+        ["sample_id"], "c", "kll", k=200,
+    )
+    return agg.select(
+        "sample_id", kll_quantiles_col([0.5, 0.9, 0.99]).alias("count_quantiles")
+    )
+
+
 def _q_kll_quantiles(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     agg = sketch_agg(
@@ -346,6 +369,16 @@ def _q_bft_slices(spark, sf_dir):
     return s.select("part_id", "sample_id", "n_set", F.length("bitmap").alias("bitmap_bytes"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from kmtricks_spark.operators.similarity import ivf_assign, ivf_search, ivf_train
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train(emb, n_lists=16, seed=1)
+    assigned = ivf_assign(emb, cents)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_search(assigned, cents, list(q), k=10, nprobe=6)
+
+
 def _q_winnow_fp(spark, sf_dir):
     from kmtricks_spark.functions.text import winnow_fingerprints
 
@@ -388,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation,
         # rows-only (approximate / non-SQL-expressible; bounds in tests/)
         "hll_per_sample": _q_hll_per_sample,
+        "hll_per_partition_sample": _q_hll_per_partition,
+        "kll_count_distribution": _q_kll_count_dist,
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "bf_fpr_report": _q_bf_fpr,
@@ -396,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
         "winnow_fingerprints": _q_winnow_fp,
+        "ivf_topk": _q_ivf_topk,
         "cms_word_freq": _q_cms_word_freq,
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,

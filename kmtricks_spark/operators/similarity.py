@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +66,70 @@ def hyperplane_signatures(
         proj = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ivf_train(
+    df: DataFrame,
+    n_lists: int = 16,
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side SAMPLE (the standard
+    IVF pattern — training data is a bounded sample regardless of corpus
+    size; assignment stays distributed). Deterministic seeding."""
+    sample = np.array(
+        [list(r[0]) for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(sample.shape[0], size=n_lists, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                cents[j] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Distributed assignment to the nearest centroid (Arrow-batched
+    numpy argmin over the broadcast centroid matrix)."""
+    from pyspark.sql.types import IntegerType
+
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.array([list(x) for x in v], dtype=np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.select(F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id"))
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: scan only the `nprobe` inverted lists nearest to the query —
+    at 10^12 rows the list filter is a partition-pruning predicate, the
+    exact re-rank touches ~nprobe/n_lists of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = assigned.where(F.col("list_id").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def ann_pairs(

@@ -110,6 +110,27 @@ def test_cosine_topk_vs_numpy(spark):
     assert got == [int(i) for i in expect]
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    import numpy as np
+
+    from kmtricks_spark.operators.similarity import ivf_assign, ivf_search, ivf_train
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)], ["vec_id", "embedding"]
+    )
+    cents = ivf_train(df, n_lists=8, seed=1)
+    assigned = ivf_assign(df, cents).cache()
+    q = vecs[7]
+    got = [r.vec_id for r in ivf_search(assigned, cents, list(q), k=10, nprobe=4).collect()]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    true10 = set(np.argsort(-cos)[:10])
+    recall = len(set(got) & true10) / 10
+    assert got[0] == 7  # the query vector itself is its own nearest
+    assert recall >= 0.6, recall  # nprobe=4 of 8 lists
+
+
 def test_ann_pairs_find_exact_dups(spark):
     import numpy as np
 
