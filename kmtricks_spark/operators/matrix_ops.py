@@ -18,12 +18,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def check_repart_compat(params_a: dict, params_b: dict) -> None:
+    """Combine/filter require both runs to share the partitioning config
+    (k, m, nb_partitions) — the reference refuses otherwise
+    (task.hpp:136-147). Compare the lineage params of the two runs."""
+    for key in ("k", "m", "nb_partitions"):
+        if str(params_a.get(key)) != str(params_b.get(key)):
+            raise ValueError(
+                f"incompatible runs: {key}={params_a.get(key)!r} vs {params_b.get(key)!r}"
+            )
+
+
 def combine(a: DataFrame, b: DataFrame, width_a: int, width_b: int) -> DataFrame:
     """J8: full-outer join on kgram; absent side zero-filled.
 
     `a`/`b`: (part_id, kgram, counts array<long>). Requires the same
     partitioning function on both runs, as the reference enforces
-    (task.hpp:136-147); part_id is carried from whichever side is present.
+    (task.hpp:136-147) — validate with check_repart_compat on the runs'
+    lineage params; part_id is carried from whichever side is present.
     """
     zeros_a = F.array_repeat(F.lit(0).cast("long"), width_a)
     zeros_b = F.array_repeat(F.lit(0).cast("long"), width_b)
