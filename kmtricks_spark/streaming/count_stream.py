@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -38,7 +39,8 @@ EVENTS_SCHEMA = StructType(
         StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("value", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
     ]
 )
 
