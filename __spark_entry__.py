@@ -369,6 +369,12 @@ def _q_bft_slices(spark, sf_dir):
     return s.select("part_id", "sample_id", "n_set", F.length("bitmap").alias("bitmap_bytes"))
 
 
+def _q_cosine_dup_pairs(spark, sf_dir):
+    from kmtricks_spark.operators.similarity import cosine_pairs_exact
+
+    return cosine_pairs_exact(_emb(spark, sf_dir), min_cosine=0.4)
+
+
 def _q_ivf_topk(spark, sf_dir):
     from kmtricks_spark.operators.similarity import ivf_assign, ivf_search, ivf_train
 
@@ -413,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "topk_cosine": _q_topk_cosine,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_hourly": _q_events_hourly,
         "lineitem_agg": _q_lineitem_agg,
         "pa_matrix_long": _q_pa_long,
@@ -587,6 +594,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(dot / (nv * nt), 6) AS cosine
         FROM d, n WHERE vec_id <> 0
         ORDER BY dot / (nv * nt) DESC, vec_id LIMIT 10
+        """,
+        "cosine_dup_pairs": """
+        WITH v AS (
+          SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM v GROUP BY 1),
+        d AS (
+          SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+          FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(dot / (na.nv * nb.nv), 6) AS cosine
+        FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+        WHERE round(dot / (na.nv * nb.nv), 6) >= 0.4
         """,
         "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -49,6 +49,29 @@ def cosine_topk(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    min_cosine: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (a < b). The O(N^2) verifier /
+    small-scale oracle for the LSH and IVF paths — at web scale use
+    ann_pairs (bucketed); at oracle scale the cross join is the point."""
+    norms = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nv")
+    )
+    l = norms.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nv").alias("na")
+    )
+    r = norms.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nv").alias("nb")
+    )
+    pairs = l.join(r, F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("a", "b", cos.alias("cosine")).where(F.col("cosine") >= min_cosine)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
