@@ -246,6 +246,28 @@ def _q_curation(spark, sf_dir):
     )
 
 
+def _q_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup with broadcast dims (TPC-H Q5 shape): lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ region — dims are broadcast-joined (no
+    shuffle of the fact side beyond the orderkey join)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    reg = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ------------------------------------------------- rows-only (no oracle)
 
 def _q_hll_per_sample(spark, sf_dir):
@@ -422,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_hourly": _q_events_hourly,
         "lineitem_agg": _q_lineitem_agg,
+        "revenue_by_nation": _q_revenue_by_nation,
         "pa_matrix_long": _q_pa_long,
         "aggregate_sorted": _q_aggregate_sorted,
         "events_sessions": _q_events_sessions,
@@ -621,6 +644,17 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice), 2) AS sum_base_price,
                count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
         """,
         "pa_matrix_long": _SH
         + """
