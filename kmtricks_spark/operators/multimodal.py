@@ -104,6 +104,46 @@ def extract_features(df: DataFrame, dim: int = 64, decode_stub: bool = True) -> 
     return df.select("media_id", "kind", "payload").mapInPandas(gen, FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, out_w: int = 64, out_h: int = 64, decode_stub: bool = True) -> DataFrame:
+    """Image resize plan: batched binary in -> binary out + new dims.
+
+    The codec is stubbed (deterministic payload transform with the right
+    output schema/size bookkeeping); the Spark-side shape — binary column
+    through mapInPandas with metadata columns updated — is the real
+    production plumbing.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real image resize needs codec libs")
+            outs = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = out_w * out_h
+                # deterministic fake resample: tile/truncate to target size
+                outs.append(np.resize(b, n).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    imgs = df.where(F.col("kind") == "image")
+    return imgs.select("media_id", "payload").mapInPandas(gen, schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame timestamp
     (JVM-side explode; the decode of each frame is the stubbed stage)."""

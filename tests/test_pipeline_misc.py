@@ -168,3 +168,8 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(Exception):
         extract_features(media, dim=32, decode_stub=False).collect()
+
+    from kmtricks_spark.operators.multimodal import resize_images
+
+    rs = resize_images(media, out_w=8, out_h=8).collect()
+    assert rs and all(len(bytes(r.payload)) == 64 and r.width == 8 for r in rs)
