@@ -40,7 +40,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     n_tokens = F.size(toks)
     return df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.length(text_col).cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(

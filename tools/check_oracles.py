@@ -70,6 +70,15 @@ def main():
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
+        if ok_cols:
+            dt_s = {c.lower(): str(sdf[c].dtype) for c in sdf.columns}
+            dt_o = {c.lower(): str(odf[c].dtype) for c in odf.columns}
+            dtype_diff = {
+                c: (dt_s[c], dt_o[c]) for c in dt_s
+                if dt_s[c] != dt_o[c] and {dt_s[c], dt_o[c]} - {"object"}
+            }
+            if dtype_diff:
+                print(f"note  {name}: dtype diffs {dtype_diff}")
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
         ok_hash = ok_cols and value_hash(sdf) == value_hash(odf)
