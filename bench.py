@@ -234,6 +234,11 @@ def scaling_run(rep: int) -> dict:
     rec.update(machine_ceiling(lo, hi))
     if rec.get("ceiling_efficiency"):
         rec["efficiency_vs_ceiling"] = round(rec["efficiency"] / rec["ceiling_efficiency"], 4)
+    rec["protocol"] = (
+        "taskset-pinned subprocesses; lo/hi adjacent per round (host drifts ~45%); "
+        "efficiency = best round; ceiling = same-window pure-JVM hash-sum kernel "
+        "(shared-host scaling limit); see BASELINE.md §3"
+    )
     return rec
 
 
