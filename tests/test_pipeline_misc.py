@@ -60,6 +60,30 @@ def test_pipeline_until_and_restrict(spark, sf_dir, tmp_path):
     assert parts <= {0, 1}
 
 
+def test_pipeline_quantile_soft_min(spark, sf_dir, tmp_path):
+    # data-dependent thresholds (histogram.hpp:218-244 two-job plan):
+    # quantile-derived per-sample soft-min must prune more than soft_min=1
+    from kmtricks_spark.operators.count import count_kgrams, histogram, thresholds_from_histogram
+    from kmtricks_spark.operators.merge import merged_long
+
+    rd = str(tmp_path / "rq")
+    pl = Pipeline(
+        spark, CFG.with_(soft_min=1), rd,
+        os.path.join(sf_dir, "documents.parquet"), until="matrix",
+        soft_min_quantile=0.9,
+    )
+    pl.run()
+    m = spark.read.parquet(os.path.join(rd, "matrix"))
+    # independent recomputation: same thresholds applied manually
+    counts = count_kgrams(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), CFG)
+    th = {
+        r.sample_id: int(r.threshold)
+        for r in thresholds_from_histogram(histogram(counts), 0.9).collect()
+    }
+    manual = merged_long(counts, CFG.with_(soft_min=1, soft_min_by_sample=th))
+    assert m.count() == manual.select("kgram").distinct().count()
+
+
 def test_param_change_invalidates(spark, sf_dir, run_dir):
     inp = os.path.join(sf_dir, "documents.parquet")
     status = Pipeline(spark, CFG.with_(soft_min=3), run_dir, inp, until="counts").run()

@@ -49,6 +49,17 @@ def test_hll_serde_roundtrip():
     assert np.array_equal(hll.deserialize(hll.serialize(st)), st)
 
 
+def test_hll_sparse_payload_roundtrip_and_size():
+    # low fill -> sparse encoding, much smaller than dense, same registers
+    st = hll.add_hashes(hll.create(p=14), _hashes(50))
+    buf = hll.serialize(st)
+    assert buf[:4] == hll.MAGIC_SPARSE and len(buf) < (1 << 14) // 10
+    assert np.array_equal(hll.deserialize(buf), st)
+    # high fill -> dense
+    st2 = hll.add_hashes(hll.create(p=8), _hashes(10_000))
+    assert hll.serialize(st2)[:4] == hll.MAGIC
+
+
 # ------------------------------------------------------------------- CMS
 
 def test_cms_never_underestimates_and_bound():
