@@ -38,9 +38,8 @@ from kmtricks_spark.operators.bloom_stage import bf_concat, bf_slices, fpr_repor
 from kmtricks_spark.operators.similarity import ann_pairs, cosine_topk, hyperplane_signatures
 from kmtricks_spark.sketches.spark import (
     hll_estimate_col,
-    kll_quantiles_col,
+    quantile_rows,
     sketch_agg,
-    tdigest_quantiles_col,
 )
 
 K = 8
@@ -289,31 +288,31 @@ def _q_hll_per_partition(spark, sf_dir):
 
 def _q_kll_count_dist(spark, sf_dir):
     """North rule: count-distribution quantiles (how often do shingles of
-    each sample repeat) via KLL over the exact count column."""
+    each sample repeat) via KLL over the exact count column. k=32768 >=
+    any sf0.01 group, so the sketch never compacts there and the values
+    are exact order statistics — hash-matched against the SQL oracle.
+    Binary-exact q fractions keep ceil(q*n) identical in both engines."""
     counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1))
     agg = sketch_agg(
         counts.select("sample_id", F.col("count").cast("double").alias("c")),
-        ["sample_id"], "c", "kll", k=200,
+        ["sample_id"], "c", "kll", k=32768,
     )
-    return agg.select(
-        "sample_id", kll_quantiles_col([0.5, 0.9, 0.99]).alias("count_quantiles")
-    )
+    return quantile_rows(agg, ["sample_id"], [0.5, 0.75, 0.9375], "kll")
 
 
 def _q_kll_quantiles(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     agg = sketch_agg(
-        li.select("l_returnflag", "l_extendedprice"), ["l_returnflag"], "l_extendedprice", "kll", k=200
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"], "l_extendedprice", "kll", k=32768,
     )
-    return agg.select(
-        "l_returnflag", kll_quantiles_col([0.1, 0.5, 0.9]).alias("quantiles")
-    )
+    return quantile_rows(agg, ["l_returnflag"], [0.25, 0.5, 0.75], "kll")
 
 
 def _q_tdigest_quantiles(spark, sf_dir):
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     agg = sketch_agg(ev.select("event_type", "value"), ["event_type"], "value", "tdigest", delta=200)
-    return agg.select("event_type", tdigest_quantiles_col([0.5, 0.99]).alias("quantiles"))
+    return quantile_rows(agg, ["event_type"], [0.5, 0.99], "tdigest")
 
 
 def _q_bf_fpr(spark, sf_dir):
@@ -655,6 +654,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY 1, 2
+        """,
+        # KLL with k >= group size never compacts -> exact order statistic
+        # sorted[max(ceil(q*n),1)]; q fractions are binary-exact so ceil()
+        # agrees bit-for-bit between numpy and DuckDB doubles.
+        "kll_quantiles": """
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice AS x,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag, q::DOUBLE AS q, x AS quantile
+        FROM r JOIN (VALUES (0.25), (0.5), (0.75)) qs(q)
+          ON rn = greatest(ceil(q::DOUBLE * n), 1)
+        """,
+        "kll_count_distribution": f"""
+        WITH sh AS (
+          SELECT source AS sample_id, substring(text, i, {K}) AS kgram
+          FROM documents, LATERAL unnest(generate_series(1, length(text) - {K - 1})) AS t(i)
+          WHERE length(text) >= {K}
+        ),
+        c AS (SELECT sample_id, kgram, count(*) AS count FROM sh GROUP BY 1, 2),
+        r AS (
+          SELECT sample_id, count::DOUBLE AS x,
+                 row_number() OVER (PARTITION BY sample_id ORDER BY count) AS rn,
+                 count(*) OVER (PARTITION BY sample_id) AS n
+          FROM c
+        )
+        SELECT sample_id, q::DOUBLE AS q, x AS quantile
+        FROM r JOIN (VALUES (0.5), (0.75), (0.9375)) qs(q)
+          ON rn = greatest(ceil(q::DOUBLE * n), 1)
         """,
         "pa_matrix_long": _SH
         + """

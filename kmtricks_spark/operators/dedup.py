@@ -81,7 +81,12 @@ def minhash_signatures(
             for e in encs:
                 b = np.frombuffer(e, dtype=np.uint8)
                 if b.size < shingle_k:
-                    hs.append(np.zeros(1, dtype=np.uint64))
+                    # short doc: its whole (zero-padded) bytes are the one
+                    # shingle — distinct short docs get distinct hashes
+                    # (all-zeros would alias every short doc to sig {0})
+                    pad = np.zeros(shingle_k, dtype=np.uint8)
+                    pad[: b.size] = b
+                    hs.append(hash64_np(pad[None, :]))
                     lens.append(1)
                 else:
                     win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
@@ -160,44 +165,63 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized bit-vote)."""
+    """64-bit SimHash over whitespace tokens.
+
+    Fully batch-vectorized: one concatenated token-hash buffer per Arrow
+    batch, per-doc ±1 bit votes via ``np.add.reduceat`` over doc offsets
+    (16 bit-positions per pass bounds the temp matrix) — no per-doc or
+    per-bit Python in the hot path. Empty docs get simhash 0.
+    """
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("simhash", LongType())]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitcols = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, out = [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = txt.split()
-                if not toks:
-                    ids.append(did)
-                    out.append(0)
-                    continue
-                hs = _token_hashes(toks)
-                bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                val = np.uint64(0)
-                for i in range(64):
-                    if votes[i] > 0:
-                        val |= np.uint64(1) << np.uint64(i)
-                ids.append(did)
-                out.append(np.int64(val.astype(np.uint64).view(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+            tok_lists = [t.split() for t in pdf[text_col]]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            out = np.zeros(len(tok_lists), dtype=np.uint64)
+            nonempty = lens > 0
+            flat = [tok for toks in tok_lists for tok in toks]
+            if flat:
+                hs = _token_hashes(flat)  # (total_tokens,) uint64
+                seg = lens[nonempty]
+                offsets = np.concatenate([[0], np.cumsum(seg)[:-1]]).astype(np.int64)
+                val = np.zeros(seg.size, dtype=np.uint64)
+                for c0 in range(0, 64, 16):
+                    shifts = np.arange(c0, c0 + 16, dtype=np.uint64)
+                    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                    votes = np.add.reduceat(2 * bits - 1, offsets, axis=0)
+                    val |= (
+                        (votes > 0).astype(np.uint64) << shifts[None, :]
+                    ).sum(axis=1, dtype=np.uint64)
+                out[nonempty] = val
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "simhash": out.view(np.int64)}
+            )
 
     return df.select(F.col(id_col), text_col).mapInPandas(gen, schema=schema)
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes (length-prefixed concat buffer)."""
+    """Deterministic 64-bit token hashes, padding-invariant.
+
+    hash64_np folds every padded byte into the polynomial, so hashing a
+    zero-padded matrix would make a token's hash depend on the batch's
+    longest token. Instead tokens are bucketed by exact byte length and
+    each bucket hashed at its own width (seed = length disambiguates
+    prefixes) — same token, same hash, in any doc or batch."""
     enc = [t.encode("utf-8") for t in toks]
-    maxlen = max(len(e) for e in enc)
-    arr = np.zeros((len(enc), maxlen + 1), dtype=np.uint8)
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    maxlen = int(lens.max())
+    arr = np.zeros((len(enc), maxlen), dtype=np.uint8)
     for i, e in enumerate(enc):
-        arr[i, 0] = len(e) % 251
-        arr[i, 1 : 1 + len(e)] = np.frombuffer(e, dtype=np.uint8)
-    return hash64_np(arr)
+        arr[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    out = np.empty(len(enc), dtype=np.uint64)
+    for L in np.unique(lens):
+        idx = lens == L
+        out[idx] = hash64_np(arr[idx, : int(L)], seed=int(L))
+    return out
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -236,25 +260,43 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for pairs sharing >= 1 n-gram.
 
     |A∩B| via a self-join on distinct n-grams (inverted-index shape:
     shuffle on the n-gram, pairs generated only inside posting lists);
     |A∪B| = |A|+|B|−|A∩B|. Returns (a, b, jaccard) with a < b.
+
+    ``max_df`` drops grams appearing in more than that many documents
+    before the self-join (standard inverted-index stop-gram cap): a gram
+    shared by f docs emits f^2 candidate rows, so one universal gram is
+    quadratic at corpus scale. With the cap, both |A∩B| and the doc sizes
+    use the capped gram universe — exact Jaccard over non-stop grams. Set
+    it in the scale path, leave None for the exact verifier/oracle role.
+
+    Docs with fewer than n tokens contribute zero grams (an empty gram
+    set, never a crash: F.sequence(1, size-(n-1)) on a short doc would
+    DESCEND to [1, 0] and slice() throws on index 0).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-                )
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
             )
-        ).alias("gram"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
     )
+    if max_df is not None:
+        w_df = Window.partitionBy("gram")
+        grams = grams.withColumn("gram_df", F.count(F.lit(1)).over(w_df)).where(
+            F.col("gram_df") <= max_df
+        ).drop("gram_df")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     l = grams.select(F.col("gram"), F.col("doc_id").alias("a"))
     r = grams.select(F.col("gram"), F.col("doc_id").alias("b"))

@@ -80,32 +80,54 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector (sign pattern of `bits`
-    projections), computed as JVM expressions over a literal plane matrix."""
+    """Random-hyperplane LSH bucket per vector: sign pattern of `bits`
+    projections, one Arrow-batched ``X @ planes.T`` per task (the plane
+    matrix ships once in the UDF closure — NOT as bits×dim literal Column
+    expressions, which at dim=768/bits=32 would be a 25k-literal plan and
+    minutes of codegen)."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
-    bucket = F.lit(0).cast("long")
-    for i in range(bits):
-        proj = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    planes_t = rng.standard_normal((bits, dim)).T.copy()  # (dim, bits)
+    powers = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def bucket_of(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        mat = np.array(list(v), dtype=np.float64)  # (n, dim)
+        proj = mat @ planes_t                      # (n, bits)
+        return pd.Series((proj > 0) @ powers)
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
+    )
 
 
 def ivf_train(
     df: DataFrame,
     n_lists: int = 16,
-    sample_fraction: float = 1.0,
+    max_train_rows: int = 65536,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """IVF coarse quantizer: k-means on a driver-side SAMPLE (the standard
-    IVF pattern — training data is a bounded sample regardless of corpus
-    size; assignment stays distributed). Deterministic seeding."""
-    sample = np.array(
-        [list(r[0]) for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
-        dtype=np.float64,
-    )
+    """IVF coarse quantizer: k-means on a driver-side sample HARD-CAPPED
+    at ``max_train_rows`` regardless of corpus size (the standard IVF
+    pattern — training quality needs ~100s of points per list, not the
+    corpus; assignment stays distributed). The cap is enforced with
+    count() -> fraction + limit so a 10^12-row table never reaches the
+    driver. Deterministic seeding."""
+    n_total = df.count()
+    sel = df.select(vec_col)
+    if n_total > max_train_rows:
+        # oversample 2x so the post-sample limit() is almost never short,
+        # then hard-bound with limit — at most max_train_rows rows collect
+        frac = min(1.0, (2.0 * max_train_rows) / n_total)
+        sel = sel.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    sample = np.array([list(r[0]) for r in sel.collect()], dtype=np.float64)
+    if sample.shape[0] < n_lists:
+        raise ValueError(
+            f"ivf_train: {sample.shape[0]} training rows < n_lists={n_lists}"
+        )
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(sample.shape[0], size=n_lists, replace=False)]
     for _ in range(iters):

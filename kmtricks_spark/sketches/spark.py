@@ -131,6 +131,27 @@ def tdigest_quantiles_col(qs: list[float], payload_col: str = "payload"):
     return _q(F.col(payload_col))
 
 
+def quantile_rows(
+    agg: DataFrame, group_cols: list[str], qs: list[float], kind: str = "kll",
+    value_name: str = "quantile",
+) -> DataFrame:
+    """Explode sketch quantiles to scalar rows (group..., q, value).
+
+    Scalar shape keeps downstream consumers (and the driver's result
+    canonicalizer) array-free. Exactness note: a KLL with k >= n never
+    compacts, so its quantile is the exact order statistic
+    sorted[max(ceil(q*n), 1)] — with binary-exact q fractions this is
+    deterministically comparable against an ANSI-SQL row_number oracle.
+    """
+    col = {"kll": kll_quantiles_col, "tdigest": tdigest_quantiles_col}[kind]
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        agg.select(*group_cols, F.posexplode(col(qs)).alias("pos", value_name))
+        .withColumn("q", F.element_at(q_arr, F.col("pos") + 1))
+        .select(*group_cols, "q", value_name)
+    )
+
+
 def cms_query_driver(payload: bytes, hashes: np.ndarray) -> np.ndarray:
     """Point queries against a collected CMS payload (driver-side)."""
     return cms.query(cms.deserialize(payload), hashes.astype(np.int64).view(np.uint64))
