@@ -330,18 +330,85 @@ def _q_bf_per_sample(spark, sf_dir):
     return bf_concat(slices, cfg).select("sample_id", "total_set", F.length("filter").alias("filter_bytes"))
 
 
+def _q_bf_layout(spark, sf_dir):
+    """Deterministic (oracle-able) slice of the BF output: per-sample
+    global filter length. Pins the howde-style concat layout — ordered
+    windows, zero-fill for absent partitions — since any missing/extra
+    window changes the byte length (window arithmetic: hash.hpp:31-39)."""
+    cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 20)
+    counts = count_kgrams(_docs(spark, sf_dir), cfg)
+    slices = bf_slices(hash_counts(counts, cfg), cfg)
+    return bf_concat(slices, cfg).select(
+        "sample_id", F.length("filter").alias("filter_bytes")
+    )
+
+
+def _dup_docs(spark, sf_dir):
+    """Corpus + deterministic exact duplicates (doc_id < 25, re-id'd +1M)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
 def _q_minhash_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").limit(25)
-    sigs = minhash_signatures(d.select("doc_id", "text").unionByName(dup))
+    sigs = minhash_signatures(_dup_docs(spark, sf_dir))
     return minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
 
 
+def _q_minhash_exact_dups(spark, sf_dir):
+    """LSH -> exact-verify pipeline, hash-matched: banding proposes
+    candidates (recall 1.0 on identical shingle sets — every band agrees),
+    an exact set-fingerprint join confirms them. The corpus plants NEAR
+    dups at ~0.98 Jaccard whose 128 minhashes can all collide (p≈j^128),
+    so est==1.0 alone is not exactness — the verify step is the point."""
+    docs = _dup_docs(spark, sf_dir)
+    grams = F.when(
+        F.length("text") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 4),
+            lambda i: F.substring(F.col("text"), i, 5),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = docs.select(
+        "doc_id", F.md5(F.concat_ws("", F.array_sort(F.array_distinct(grams)))).alias("fp")
+    )
+    sigs = minhash_signatures(docs)
+    cand = minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=1.0)
+    fa = fps.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .where(F.col("fp_a") == F.col("fp_b"))
+        .select("a", "b")
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").limit(25)
-    sh = simhash(d.select("doc_id", "text").unionByName(dup))
+    sh = simhash(_dup_docs(spark, sf_dir))
     return simhash_near_pairs(sh, max_hamming=3)
+
+
+def _q_simhash_exact_dups(spark, sf_dir):
+    """SimHash blocking -> exact-verify: hamming-0 candidates (blocking
+    recall 1.0 — every 16-bit chunk matches) confirmed by an exact token-
+    multiset fingerprint join. Near-dup docs at ~0.99 similarity DO land
+    at hamming 0 (observed on this corpus), hence the verify step."""
+    docs = _dup_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    fps = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("fp")
+    )
+    sh = simhash(docs)
+    cand = simhash_near_pairs(sh, max_hamming=0)
+    fa = fps.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .where(F.col("fp_a") == F.col("fp_b"))
+        .select("a", "b")
+    )
 
 
 def _q_cms_word_freq(spark, sf_dir):
@@ -413,14 +480,30 @@ def _q_winnow_fp(spark, sf_dir):
     return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
 
 
-def _q_ann_pairs(spark, sf_dir):
+def _dup_emb(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    # inject exact-duplicate vectors so the near-dup path has positives
-    dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label").limit(10)
-    both = emb.unionByName(dup)
-    dim = len(emb.select("embedding").first()[0])
+    dup = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dup)
+
+
+def _q_ann_pairs(spark, sf_dir):
+    both = _dup_emb(spark, sf_dir)
+    dim = len(both.select("embedding").first()[0])
     sigs = hyperplane_signatures(both, dim=dim, bits=10)
     return ann_pairs(sigs, min_cosine=0.9)
+
+
+def _q_ann_exact_dups(spark, sf_dir):
+    """cosine==1.0 pairs from the LSH-bucketed path: identical vectors
+    always share every hyperplane sign, so recall on exact duplicates is
+    1.0 by construction; max organic cosine on this corpus is ~0.51, so
+    the 1.0 set is exactly the injected duplicates — SQL-enumerable."""
+    both = _dup_emb(spark, sf_dir)
+    dim = len(both.select("embedding").first()[0])
+    sigs = hyperplane_signatures(both, dim=dim, bits=10)
+    return ann_pairs(sigs, min_cosine=1.0).select("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -446,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "pa_matrix_long": _q_pa_long,
         "aggregate_sorted": _q_aggregate_sorted,
+        "minhash_exact_dup_pairs": _q_minhash_exact_dups,
+        "simhash_exact_dup_pairs": _q_simhash_exact_dups,
+        "ann_exact_dup_pairs": _q_ann_exact_dups,
         "events_sessions": _q_events_sessions,
         "curation_pipeline": _q_curation,
         # rows-only (approximate / non-SQL-expressible; bounds in tests/)
@@ -456,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "bf_fpr_report": _q_bf_fpr,
         "bf_per_sample": _q_bf_per_sample,
+        "bf_layout": _q_bf_layout,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
@@ -654,6 +741,55 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY 1, 2
+        """,
+        # exact-duplicate detection through the LSH paths: identical
+        # shingle sets (minhash), identical token multisets (simhash),
+        # identical vectors (hyperplane ANN) — all SQL-enumerable, and the
+        # sketch paths find them with recall 1.0 by construction
+        "minhash_exact_dup_pairs": """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+          FROM all_docs, LATERAL unnest(generate_series(1, length(text) - 4)) t(i)
+          WHERE length(text) >= 5
+        ),
+        fp AS (
+          SELECT doc_id, md5(string_agg(g, '' ORDER BY g)) AS f
+          FROM sh GROUP BY doc_id
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+        """,
+        "simhash_exact_dup_pairs": """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ),
+        fp AS (
+          SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS f
+          FROM (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM all_docs
+          ) GROUP BY doc_id
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+        """,
+        "ann_exact_dup_pairs": """
+        SELECT vec_id AS a, vec_id + 1000000 AS b
+        FROM embeddings WHERE vec_id < 10
+        """,
+        # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
+        # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->
+        # window 131072 bits -> 131072 total bytes
+        "bf_layout": """
+        SELECT DISTINCT source AS sample_id, 131072 AS filter_bytes
+        FROM documents
         """,
         # KLL with k >= group size never compacts -> exact order statistic
         # sorted[max(ceil(q*n),1)]; q fractions are binary-exact so ceil()

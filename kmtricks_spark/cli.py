@@ -30,6 +30,8 @@ def _cfg_from(args) -> KmConfig:
         share_min=args.share_min,
         bloom_bits=args.bloom_size,
         bfc_width=args.bitw,
+        bloom_mode=args.bloom_mode,
+        repartition_type=args.repartition,
     )
 
 
@@ -45,6 +47,12 @@ def _add_common(p):
     p.add_argument("--share-min", type=int, default=0)
     p.add_argument("--bloom-size", type=int, default=10_000_000)
     p.add_argument("--bitw", type=int, default=2)
+    p.add_argument("--bloom-mode", choices=["bf", "bft", "bfc"], default="bf",
+                   help="--mode hash:{bf,bft,bfc} analogue (cli.cpp:150-199)")
+    p.add_argument("--repartition", choices=["static", "sampled"], default="static",
+                   help="R3 static hash vs R2 sampled LPT map (task.hpp:183-199)")
+    p.add_argument("--repart-from", type=str, default=None,
+                   help="reuse a saved partitioner.json (compat-checked)")
     p.add_argument("--restrict-to-list", type=str, default=None,
                    help="comma-separated partition ids")
     p.add_argument("--cores", type=int, default=None)
@@ -70,6 +78,29 @@ def main(argv=None):
     dump.add_argument("--limit", type=int, default=20)
     dump.add_argument("--cores", type=int, default=None)
 
+    # post-ops over existing runs (cmd.hpp:274-724 surface)
+    agg = sub.add_parser("aggregate", help="union per-partition matrix rows (J10)")
+    agg.add_argument("--run-dir", required=True)
+    agg.add_argument("--stage", default="matrix")
+    agg.add_argument("--sorted", action="store_true")
+    agg.add_argument("--restrict-to-list", type=str, default=None)
+    agg.add_argument("--output", required=True)
+    agg.add_argument("--cores", type=int, default=None)
+
+    comb = sub.add_parser("combine", help="horizontal merge of two runs' matrices (J8)")
+    comb.add_argument("--run-dir", required=True)
+    comb.add_argument("--other", required=True, help="second run dir")
+    comb.add_argument("--output", required=True)
+    comb.add_argument("--cores", type=int, default=None)
+
+    filt = sub.add_parser("filter", help="new sample vs existing matrix (J9)")
+    filt.add_argument("--run-dir", required=True)
+    filt.add_argument("--key-counts", required=True,
+                      help="parquet of (kgram, count) for the key sample")
+    filt.add_argument("--out-mode", choices=["m", "k", "v"], default="m")
+    filt.add_argument("--output", required=True)
+    filt.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
     spark = get_spark(cores=args.cores)
     try:
@@ -77,6 +108,8 @@ def main(argv=None):
             df = spark.read.parquet(f"{args.run_dir}/{args.stage}")
             df.show(args.limit, truncate=False)
             return 0
+        if args.cmd in ("aggregate", "combine", "filter"):
+            return _post_op(spark, args)
         from kmtricks_spark.plans.pipeline import Pipeline
 
         restrict = (
@@ -92,12 +125,52 @@ def main(argv=None):
             until=(args.cmd if args.cmd != "pipeline" else args.until),
             restrict_to=restrict,
             soft_min_quantile=args.soft_min_quantile,
+            repart_from=args.repart_from,
         )
         status = pl.run()
         print(json.dumps(status))
         return 0
     finally:
         spark.stop()
+
+
+def _post_op(spark, args) -> int:
+    """aggregate / combine / filter over persisted runs, with the
+    reference's repartition-compatibility refusal (task.hpp:136-147)."""
+    from pyspark.sql import functions as F
+
+    from kmtricks_spark.operators.matrix_ops import (
+        aggregate,
+        check_repart_compat,
+        combine,
+        filter_matrix,
+    )
+    from kmtricks_spark.plans.lineage import read_lineage
+
+    if args.cmd == "aggregate":
+        df = spark.read.parquet(f"{args.run_dir}/{args.stage}")
+        if args.restrict_to_list:
+            ids = [int(x) for x in args.restrict_to_list.split(",")]
+            df = df.where(F.col("part_id").isin(ids))
+        aggregate([df], sorted_output=args.sorted).write.mode("overwrite").parquet(args.output)
+    elif args.cmd == "combine":
+        la, lb = read_lineage(args.run_dir, "matrix"), read_lineage(args.other, "matrix")
+        if la and lb:
+            check_repart_compat(la["params"], lb["params"])
+        a = spark.read.parquet(f"{args.run_dir}/matrix")
+        b = spark.read.parquet(f"{args.other}/matrix")
+        wa = a.select(F.size("counts")).first()[0]
+        wb = b.select(F.size("counts")).first()[0]
+        combine(a, b, wa, wb).write.mode("overwrite").parquet(args.output)
+    else:  # filter
+        matrix = spark.read.parquet(f"{args.run_dir}/matrix")
+        key = spark.read.parquet(args.key_counts)
+        filter_matrix(matrix, key, out=args.out_mode).write.mode("overwrite").parquet(
+            args.output
+        )
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({args.cmd: "done", "output": args.output, "rows": n}))
+    return 0
 
 
 if __name__ == "__main__":

@@ -41,11 +41,13 @@ class KmConfig:
     max_count: int = 2**31 - 1    # count saturation (ref: MAX_C, count_processor.hpp:66)
     bloom_bits: int = 10_000_000  # --bloom-size default (cli.cpp:334-338)
     bfc_width: int = 2            # --bitw: packed-count BF cell width
+    bloom_mode: str = "bf"        # bf | bft | bfc (--mode hash:{bf,bft,bfc}, cli.cpp:150-199)
     text_col: str = "text"
     sample_col: str = "source"
     kgram_as_string: bool = True  # decode shingles to str (ASCII corpora) vs keep bytes
     method: str = "auto"          # shingling path: auto | sql | sql_bytes | arrow
     alphabet: str | None = None   # None (text) | "dna" (canonical k-mers, ref parity)
+    repartition_type: str = "static"  # static | sampled (R2/R3, task.hpp:183-199)
 
     @property
     def window_bits(self) -> int:

@@ -110,26 +110,28 @@ def bf_concat(slices: DataFrame, cfg: KmConfig) -> DataFrame:
 
 
 def bft_slices(hcounts: DataFrame, samples: list[str], cfg: KmConfig, min_count: int = 1) -> DataFrame:
-    """Transposed build: per partition, hash-major bit matrix flipped to
-    sample-major rows. Output equals bf_slices row-for-row (the reference
-    writes both layouts from one matrix; bitmatrix transpose ≙ numpy
-    packbits on the transposed presence matrix)."""
+    """Transposed build: per partition, sample-major rows (the reference's
+    bit-matrix transpose, merge.hpp:631-644). Output equals bf_slices
+    row-for-row.
+
+    Memory-bounded: one w/8-byte packed bitmap per sample AT A TIME
+    (peak extra = one window), never the dense (window_bits x n_samples)
+    matrix — at reference-scale settings (w=2^24/P, 10^4 samples) the
+    dense form is multi-GB per task. `samples` fixes row order parity
+    with the reference's matrix column order."""
     w = cfg.window_bits
-    s_index = {s: i for i, s in enumerate(samples)}
+    order = {s: i for i, s in enumerate(samples)}
 
     def build(key, pdf):
         part = key[0]
         sel = pdf[pdf["count"] >= min_count]
         local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
-        cols = sel["sample_id"].map(s_index).to_numpy(dtype=np.int64)
-        mat = np.zeros((w, len(samples)), dtype=np.uint8)
-        mat[local, cols] = 1
-        packed = bloom.transpose_bits(mat)  # (n_samples, w/8)
-        rows = [
-            (part, s, int(mat[:, i].sum()), packed[i].tobytes())
-            for s, i in s_index.items()
-            if mat[:, i].any()
-        ]
+        rows = []
+        for s, idx in sel.groupby("sample_id", sort=False).indices.items():
+            state = bloom.create(w)
+            bloom.add_local_indices(state, local[idx])
+            rows.append((part, s, len(np.unique(local[idx])), state.tobytes()))
+        rows.sort(key=lambda r: order.get(r[1], len(order)))
         return pd.DataFrame(rows, columns=["part_id", "sample_id", "n_set", "bitmap"])
 
     return hcounts.groupBy("part_id").applyInPandas(build, _SLICE_SCHEMA)

@@ -24,12 +24,19 @@ from kmtricks_spark.functions.hashing import part_id_col
 from kmtricks_spark.functions.shingles import kgram_partials_arrow, kgrams_sql
 
 
-def count_kgrams(df: DataFrame, cfg: KmConfig) -> DataFrame:
+def count_kgrams(df: DataFrame, cfg: KmConfig, hot_map: dict | None = None) -> DataFrame:
     """Exact counts: (part_id, sample_id, kgram, count), count >= hard_min.
 
     method='arrow' pre-counts inside the scan task (super-k-mer-style
     shuffle compression), 'sql' explodes shingles and relies on Spark's
     partial aggregation; 'auto' = arrow (byte-exact, lowest shuffle).
+
+    Partitioning (R2/R3): part_id is static xxhash64(kgram)%P by default.
+    With cfg.repartition_type='sampled' (or an explicit hot_map), the top
+    sampled kgrams are routed by an LPT-balanced map (reference default,
+    task.hpp:183-199) and only the long tail falls back to static hash —
+    the map is broadcast, never a literal plan. Count VALUES are identical
+    either way; only partition placement changes.
     """
     method = cfg.method
     if method == "auto":
@@ -43,16 +50,27 @@ def count_kgrams(df: DataFrame, cfg: KmConfig) -> DataFrame:
             F.sum("pcount").alias("count")
         )
     else:
+        from kmtricks_spark.operators.partitioner import (
+            sample_kgram_hot_map,
+            skew_aware_part,
+        )
+
         shingles = kgrams_sql(df, cfg, bytes_mode=(method == "sql_bytes"))
         if cfg.alphabet == "dna":
             from kmtricks_spark.functions.dna import canonicalize_kgrams
 
             shingles = canonicalize_kgrams(shingles)
-        counts = (
-            shingles.groupBy("sample_id", "kgram")
-            .agg(F.count(F.lit(1)).alias("count"))
-            .withColumn("part_id", part_id_col(F.col("kgram"), cfg.nb_partitions))
+        counts = shingles.groupBy("sample_id", "kgram").agg(
+            F.count(F.lit(1)).alias("count")
         )
+        if hot_map is None and cfg.repartition_type == "sampled":
+            hot_map = sample_kgram_hot_map(df, cfg)
+        if hot_map:
+            counts = skew_aware_part(counts, "kgram", cfg.nb_partitions, hot_map=hot_map)
+        else:
+            counts = counts.withColumn(
+                "part_id", part_id_col(F.col("kgram"), cfg.nb_partitions)
+            )
     counts = counts.where(F.col("count") >= cfg.hard_min)
     if cfg.max_count:
         counts = counts.withColumn(

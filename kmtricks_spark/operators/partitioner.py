@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 from kmtricks_spark.functions.hashing import part_id_col
 
@@ -44,19 +45,24 @@ def sample_hot_keys(
     return [(r[key], r["freq"]) for r in freq.collect()]
 
 
-def build_balanced_map(hot: list[tuple], nb_partitions: int) -> dict:
+def build_balanced_map(hot: list[tuple], nb_partitions: int, allow_split: bool = True) -> dict:
     """Greedy LPT bin-packing of hot keys onto partitions (the analogue of
     GATB's 'unordered' repartitor), with SPLITTING: a key heavier than the
     average partition load is fanned out over ceil(w/avg) partitions (its
     rows are salted across them — partial aggregation makes the split
-    sound for counts/sketches). Returns {key_value: [part_id, ...]}."""
+    sound for counts/sketches). Returns {key_value: [part_id, ...]}.
+
+    allow_split=False pins every key to exactly one partition — REQUIRED
+    when downstream artifacts assume one partition per key (count matrix
+    rows, Bloom window anchoring): a split key would land the same kgram
+    in two part_ids and break per-partition grouping."""
     if not hot:
         return {}
     loads = [0.0] * nb_partitions
     assign: dict = {}
     avg = max(sum(w for _, w in hot) / nb_partitions, 1e-9)
     for k, w in sorted(hot, key=lambda t: -t[1]):
-        splits = min(nb_partitions, max(1, int(-(-w // avg))))
+        splits = 1 if not allow_split else min(nb_partitions, max(1, int(-(-w // avg))))
         ps = sorted(range(nb_partitions), key=loads.__getitem__)[:splits]
         for p in ps:
             loads[p] += w / splits
@@ -82,19 +88,57 @@ def skew_aware_part(
         )
     if not hot_map:
         return static_part(df, key, nb_partitions)
-    pairs = []
-    for k, ps in hot_map.items():
-        pairs += [F.lit(k), F.array(*[F.lit(p) for p in ps])]
-    arr = F.element_at(F.create_map(*pairs), F.col(key))
+    # route via a BROADCAST join, not a create_map literal: 4096 hot keys
+    # as map literals would be an ~8k-expression plan (slow codegen, big
+    # plan broadcast) — the same smell as per-plane literal arrays in LSH
+    spark = df.sparkSession
+    hot_df = spark.createDataFrame(
+        [(k, [int(p) for p in ps]) for k, ps in hot_map.items()],
+        schema=StructType(
+            [
+                StructField("__hot_key", df.schema[key].dataType),
+                StructField("__hot_parts", ArrayType(IntegerType())),
+            ]
+        ),
+    )
+    joined = df.join(F.broadcast(hot_df), df[key] == hot_df["__hot_key"], "left")
     salt_cols = [F.col(c) for c in df.columns]
     picked = F.element_at(
-        arr, (F.pmod(F.xxhash64(*salt_cols, F.lit(11)), F.size(arr)) + 1).cast("int")
+        "__hot_parts",
+        (F.pmod(F.xxhash64(*salt_cols, F.lit(11)), F.size("__hot_parts")) + 1).cast("int"),
     )
-    return df.withColumn(
+    return joined.withColumn(
         "part_id",
         F.coalesce(
             picked, F.pmod(F.xxhash64(F.col(key)), F.lit(nb_partitions)).cast("int")
         ).cast("int"),
+    ).drop("__hot_key", "__hot_parts")
+
+
+def sample_kgram_hot_map(
+    df: DataFrame, cfg, fraction: float = 0.02, top: int = 4096
+) -> dict:
+    """R2 pre-pass, the reference's sampled repartitor (task.hpp:183-199):
+    shingle a small document sample, take the `top` most frequent kgrams
+    by INSTANCE mass (the minimizer-frequency analogue), LPT-balance them
+    onto partitions WITHOUT splitting (one partition per kgram — count
+    matrix rows and Bloom windows require a single part per key).
+
+    One light job over `fraction` of the input, before the counting job;
+    the map is tiny (<= top entries) and reusable via save_partitioner
+    (--repart-from)."""
+    from kmtricks_spark.functions.shingles import kgrams_sql
+
+    sh = kgrams_sql(df.sample(fraction=fraction, seed=42), cfg)
+    hot = (
+        sh.groupBy("kgram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("kgram"))
+        .limit(top)
+        .collect()
+    )
+    return build_balanced_map(
+        [(r["kgram"], r["freq"]) for r in hot], cfg.nb_partitions, allow_split=False
     )
 
 

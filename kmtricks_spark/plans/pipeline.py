@@ -39,6 +39,7 @@ class Pipeline:
         until: str | None = None,
         restrict_to: list[int] | None = None,
         soft_min_quantile: float | None = None,
+        repart_from: str | None = None,
     ):
         if until is not None and until not in STAGES:
             raise ValueError(f"until must be one of {STAGES}")
@@ -47,7 +48,9 @@ class Pipeline:
         self.until = until
         self.restrict_to = restrict_to
         self.soft_min_quantile = soft_min_quantile
-        self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to}
+        self.repart_from = repart_from
+        self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to,
+                        "repart_from": repart_from}
 
     # ---- helpers
 
@@ -73,9 +76,33 @@ class Pipeline:
 
     # ---- stages
 
+    def _hot_map(self) -> dict | None:
+        """Resolve the sampled-repartition map: reuse (--repart-from or a
+        prior run of this run_dir) with a k/m/P compat check, else sample
+        once and persist it to <run_dir>/partitioner.json (the reference's
+        repartition_storage reuse, task.hpp:136-147,209-222)."""
+        from kmtricks_spark.operators.partitioner import (
+            load_partitioner,
+            sample_kgram_hot_map,
+            save_partitioner,
+        )
+
+        cfg = self.cfg
+        own_path = os.path.join(self.run_dir, "partitioner.json")
+        if self.repart_from:
+            return load_partitioner(self.repart_from, cfg.k, cfg.m, cfg.nb_partitions)
+        if cfg.repartition_type != "sampled":
+            return None
+        if os.path.exists(own_path):  # resume: reuse this run's own map
+            return load_partitioner(own_path, cfg.k, cfg.m, cfg.nb_partitions)
+        hot_map = sample_kgram_hot_map(self._input(), cfg)
+        os.makedirs(self.run_dir, exist_ok=True)
+        save_partitioner(own_path, hot_map, cfg.k, cfg.m, cfg.nb_partitions)
+        return hot_map
+
     def stage_counts(self):
         if not self._done("counts"):
-            counts = count_kgrams(self._input(), self.cfg)
+            counts = count_kgrams(self._input(), self.cfg, hot_map=self._hot_map())
             write_stage(counts, self.run_dir, "counts", partition_by=["part_id"])
             self._finish("counts", read_stage(self.spark, self.run_dir, "counts"))
 
@@ -120,7 +147,25 @@ class Pipeline:
         if not self._done("bloom"):
             counts = self._restrict(read_stage(self.spark, self.run_dir, "counts"))
             hc = hash_counts(counts, self.cfg)
-            slices = bf_slices(hc, self.cfg)
+            mode = self.cfg.bloom_mode
+            if mode == "bft":
+                from kmtricks_spark.operators.bloom_stage import bft_slices
+
+                slices = bft_slices(hc, self._samples(counts), self.cfg)
+            elif mode == "bfc":
+                from kmtricks_spark.operators.bloom_stage import bfc_slices
+
+                write_stage(
+                    bfc_slices(hc, self.cfg), self.run_dir, "bloom",
+                    partition_by=["part_id"],
+                )
+                self._finish("bloom", read_stage(self.spark, self.run_dir, "bloom"))
+                return
+            elif mode == "bf":
+                slices = bf_slices(hc, self.cfg)
+            else:
+                raise ValueError(f"bloom_mode must be bf|bft|bfc, got {mode!r}")
+            # bf and bft share the slice schema: concat + fpr apply to both
             write_stage(slices, self.run_dir, "bloom", partition_by=["part_id"])
             slices_r = read_stage(self.spark, self.run_dir, "bloom")
             write_stage(bf_concat(slices_r, self.cfg), self.run_dir, "bloom_filters")

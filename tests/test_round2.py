@@ -1,0 +1,156 @@
+"""Round-2 additions: sampled repartition wiring, CLI post-ops,
+bloom modes in the pipeline, dedup edge/scale fixes."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmtricks_spark import KmConfig
+from kmtricks_spark.operators.count import count_kgrams
+from kmtricks_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from kmtricks_spark.plans.pipeline import Pipeline
+
+CFG = KmConfig(k=8, hard_min=2, soft_min=1, recurrence_min=1, nb_partitions=8,
+               bloom_bits=1 << 18)
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    """A corpus with one extremely hot shingle (Zipf-1 stand-in)."""
+    hot = "HOTGRAM! " * 400
+    rows = [(f"s{i % 4}", hot + f"unique text body number {i} with tail {i * 7}")
+            for i in range(64)]
+    return spark.createDataFrame(rows, ["source", "text"])
+
+
+def test_sampled_counts_equal_static(spark, zipf_docs):
+    """repartition_type only moves rows between part_ids — count VALUES
+    are identical to the static path."""
+    static = count_kgrams(zipf_docs, CFG).select("sample_id", "kgram", "count")
+    sampled = count_kgrams(
+        zipf_docs, CFG.with_(repartition_type="sampled")
+    ).select("sample_id", "kgram", "count")
+    assert static.exceptAll(sampled).count() == 0
+    assert sampled.exceptAll(static).count() == 0
+
+
+def test_sampled_one_part_per_kgram(spark, zipf_docs):
+    c = count_kgrams(zipf_docs, CFG.with_(repartition_type="sampled"))
+    multi = (
+        c.groupBy("kgram").agg(F.countDistinct("part_id").alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert multi == 0
+
+
+def test_pipeline_sampled_persists_and_reuses(spark, zipf_docs, tmp_path):
+    inp = str(tmp_path / "zipf.parquet")
+    zipf_docs.write.parquet(inp)
+    rd = str(tmp_path / "run_sampled")
+    cfg = CFG.with_(repartition_type="sampled")
+    Pipeline(spark, cfg, rd, inp, until="counts").run()
+    pfile = os.path.join(rd, "partitioner.json")
+    assert os.path.exists(pfile)
+    rec = json.load(open(pfile))
+    assert rec["nb_partitions"] == cfg.nb_partitions and rec["hot_map"]
+
+    # reuse in a second run via repart_from -> identical part assignment
+    rd2 = str(tmp_path / "run_reuse")
+    Pipeline(spark, CFG, rd2, inp, until="counts", repart_from=pfile).run()
+    a = spark.read.parquet(os.path.join(rd, "counts")).select("kgram", "part_id")
+    b = spark.read.parquet(os.path.join(rd2, "counts")).select("kgram", "part_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # compat refusal: different P must raise (task.hpp:136-147 analogue)
+    with pytest.raises(ValueError, match="mismatch"):
+        Pipeline(
+            spark, CFG.with_(nb_partitions=16), str(tmp_path / "bad"), inp,
+            until="counts", repart_from=pfile,
+        ).run()
+
+
+def test_pipeline_bloom_modes(spark, sf_dir, tmp_path):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    for mode in ("bft", "bfc"):
+        rd = str(tmp_path / f"run_{mode}")
+        Pipeline(spark, CFG.with_(bloom_mode=mode), rd, inp).run()
+        t = spark.read.parquet(os.path.join(rd, "bloom"))
+        assert t.count() > 0
+        if mode == "bft":
+            assert "bitmap" in t.columns
+            assert os.path.exists(os.path.join(rd, "bloom_filters"))
+        else:
+            assert "packed" in t.columns
+
+
+def _cli(args, timeout=300):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+
+
+def test_cli_post_ops_roundtrip(tmp_path, sf_dir):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    common = ["--kmer-size", "8", "--hard-min", "2", "--nb-partitions", "4",
+              "--bloom-size", "65536", "--cores", "8"]
+    rd_a, rd_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_a, "--until", "matrix", *common])
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_b, "--until", "matrix",
+          "--soft-min", "3", *common])
+
+    out = str(tmp_path / "agg.parquet")
+    rec = json.loads(_cli(["aggregate", "--run-dir", rd_a, "--sorted",
+                           "--output", out, "--cores", "8"]))
+    assert rec["rows"] > 0
+
+    out2 = str(tmp_path / "comb.parquet")
+    rec2 = json.loads(_cli(["combine", "--run-dir", rd_a, "--other", rd_b,
+                            "--output", out2, "--cores", "8"]))
+    assert rec2["rows"] > 0
+
+    # filter: key sample = first sample's counts from run A
+    import pyspark.sql as pqs  # noqa: F401
+    from kmtricks_spark import get_spark
+
+    s = get_spark(cores=8)
+    counts = s.read.parquet(os.path.join(rd_a, "counts"))
+    first = counts.select("sample_id").orderBy("sample_id").first()[0]
+    key_path = str(tmp_path / "key.parquet")
+    counts.where(F.col("sample_id") == first).select("kgram", "count").write.parquet(key_path)
+    out3 = str(tmp_path / "filt.parquet")
+    rec3 = json.loads(_cli(["filter", "--run-dir", rd_a, "--key-counts", key_path,
+                            "--out-mode", "v", "--output", out3, "--cores", "8"]))
+    assert rec3["rows"] == s.read.parquet(os.path.join(rd_a, "matrix")).count()
+
+
+def test_ngram_short_docs_and_max_df(spark):
+    rows = [(1, "just two"), (2, "a b c d e common x"), (3, "a b c d e common y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # short doc contributes no grams, no crash
+    got = ngram_jaccard_pairs(df, n=3, min_jaccard=0.1).collect()
+    assert {(r.a, r.b) for r in got} == {(2, 3)}
+    # universal gram capped -> pair count bounded
+    uni = [(i, f"the same lead tokens u{i} v{i} w{i}") for i in range(30)]
+    ud = spark.createDataFrame(uni, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(ud, n=3, min_jaccard=0.0).count()
+    capped = ngram_jaccard_pairs(ud, n=3, min_jaccard=0.0, max_df=3).count()
+    assert uncapped == 30 * 29 // 2 and capped == 0
+
+
+def test_minhash_short_docs_not_aliased(spark):
+    rows = [(1, "cat"), (2, "dog"), (3, "xy"), (4, "cat")]
+    sigs = minhash_signatures(spark.createDataFrame(rows, ["doc_id", "text"]))
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
+    assert {(r.a, r.b, r.est_jaccard) for r in pairs.collect()} == {(1, 4, 1.0)}
