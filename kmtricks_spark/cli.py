@@ -39,7 +39,8 @@ def _add_common(p):
     p.add_argument("--run-dir", required=True)
     p.add_argument("--kmer-size", type=int, default=8)
     p.add_argument("--minimizer-size", type=int, default=4)
-    p.add_argument("--nb-partitions", type=int, default=32)
+    p.add_argument("--nb-partitions", type=int, default=32,
+                   help="0 = auto from input size (R1, task.hpp:112-115)")
     p.add_argument("--hard-min", type=int, default=2)
     p.add_argument("--soft-min", type=int, default=2)
     p.add_argument("--soft-min-quantile", type=float, default=None)
@@ -112,6 +113,13 @@ def main(argv=None):
             return _post_op(spark, args)
         from kmtricks_spark.plans.pipeline import Pipeline
 
+        if args.nb_partitions == 0:
+            from kmtricks_spark.config import auto_partitions
+
+            inp = getattr(args, "input", None)
+            if not inp:
+                raise SystemExit("--nb-partitions 0 (auto) needs --input")
+            args.nb_partitions = auto_partitions(spark, inp)
         restrict = (
             [int(x) for x in args.restrict_to_list.split(",")]
             if args.restrict_to_list

@@ -109,6 +109,31 @@ def get_spark(
     return b.getOrCreate()
 
 
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` via the Hadoop FS API (works for local,
+    HDFS, s3a — whatever the session's filesystem is)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(p).getLength())
+
+
+def auto_partitions(
+    spark: SparkSession,
+    input_path: str,
+    bytes_per_partition: int = 256 << 20,
+    floor: int = 4,
+    cap: int = 4096,
+) -> int:
+    """R1: input-stats-driven partition count. The reference sizes P from
+    its sampled input stats with a floor of 4 (task.hpp:112-115); here
+    P = clamp(ceil(input_bytes / bytes_per_partition), floor, cap) so each
+    per-partition artifact (matrix slice, Bloom window group) sees a
+    bounded byte budget at any corpus size."""
+    b = input_bytes(spark, input_path)
+    return min(max(floor, -(-b // bytes_per_partition)), cap)
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -174,10 +174,13 @@ def test_streaming_counts_match_batch(spark, sf_dir, tmp_path):
     q.stop()
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_codecs(spark):
+    from kmtricks_spark.functions import bmp
     from kmtricks_spark.operators.multimodal import (
+        decode_frames,
         extract_features,
         frame_sample,
+        resize_images,
         synthesize_media,
     )
 
@@ -188,12 +191,58 @@ def test_multimodal_plumbing(spark):
     f2 = {r.media_id: r.feature for r in extract_features(media, dim=32).collect()}
     for r in feats:
         assert f2[r.media_id] == r.feature
-    frames = frame_sample(media, every_ms=500)
-    assert frames.count() > 0
-    with pytest.raises(Exception):
-        extract_features(media, dim=32, decode_stub=False).collect()
+    # image features are real pixel math: the synthetic gradient has
+    # increasing red left->right, so grid cell 0 (top-left) red mean must
+    # be below cell 3 (top-right)
+    img_feats = {r.media_id: r.feature for r in feats if r.kind == "image"}
+    for f in img_feats.values():
+        assert f[0] < f[9]  # cell0 R < cell3 R (3 channels per cell)
 
-    from kmtricks_spark.operators.multimodal import resize_images
+    # resize: decode-able BMP out, exact target dims, interior pixel sane
+    rs = resize_images(media, out_w=8, out_h=6).collect()
+    assert rs
+    for r in rs:
+        img = bmp.decode_bmp(bytes(r.payload))
+        assert img.shape == (6, 8, 3) and r.width == 8 and r.height == 6
 
-    rs = resize_images(media, out_w=8, out_h=8).collect()
-    assert rs and all(len(bytes(r.payload)) == 64 and r.width == 8 for r in rs)
+    # unknown mime refuses honestly
+    bad = spark.createDataFrame(
+        [(99, "image", bytearray(b"\xff\xd8JPEGDATA"), "image/jpeg", 1, 1, 0)],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(bad, dim=8).collect()
+
+    # video: sampled timestamps decode to real frames of the right size
+    frames = decode_frames(frame_sample(media, every_ms=500), out_w=16, out_h=12).collect()
+    assert frames
+    for r in frames[:5]:
+        assert bmp.decode_bmp(bytes(r.frame_bmp)).shape == (12, 16, 3)
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from kmtricks_spark.functions import bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (24, 31), (17, 4)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp.decode_bmp(bmp.encode_bmp(img)), img)
+    # identity resize is exact
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(bmp.resize_bilinear(img, 9, 13), img)
+    # constant image stays constant under any resize
+    const = np.full((10, 10, 3), 77, dtype=np.uint8)
+    assert (bmp.resize_bilinear(const, 4, 23) == 77).all()
+    # pcm roundtrip
+    wave = np.clip(rng.standard_normal(1000) * 0.3, -0.999, 0.999)
+    back = bmp.decode_pcm16(bmp.encode_pcm16(wave))
+    # quantization: rint(x*32767)/32768 -> error <= 0.5/32768 + |x|/32768
+    assert np.abs(back - wave).max() < 1 / 16000
+    # frames container
+    frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8) for _ in range(3)]
+    buf = bmp.encode_frames(frames)
+    assert bmp.frame_count(buf) == 3
+    for i, f in enumerate(frames):
+        assert np.array_equal(bmp.decode_frame(buf, i), f)

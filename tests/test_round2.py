@@ -149,6 +149,18 @@ def test_ngram_short_docs_and_max_df(spark):
     assert uncapped == 30 * 29 // 2 and capped == 0
 
 
+def test_auto_partitions(spark, sf_dir):
+    from kmtricks_spark.config import auto_partitions, input_bytes
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    assert input_bytes(spark, inp) > 0
+    # small input -> reference floor of 4 (task.hpp:112-115)
+    assert auto_partitions(spark, inp) == 4
+    # tiny byte budget -> scales up, capped
+    assert auto_partitions(spark, inp, bytes_per_partition=1024) > 4
+    assert auto_partitions(spark, inp, bytes_per_partition=1, cap=64) == 64
+
+
 def test_minhash_short_docs_not_aliased(spark):
     rows = [(1, "cat"), (2, "dog"), (3, "xy"), (4, "cat")]
     sigs = minhash_signatures(spark.createDataFrame(rows, ["doc_id", "text"]))
