@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kmtricks_spark import KmConfig, get_spark
 from kmtricks_spark.operators.bloom_stage import bf_concat, bf_slices, hash_counts
 from kmtricks_spark.operators.count import count_kgrams, histogram
-from kmtricks_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+from kmtricks_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, simhash
+from kmtricks_spark.operators.similarity import hyperplane_signatures
 from kmtricks_spark.operators.merge import count_matrix
 from kmtricks_spark.sketches.spark import hll_estimate_col, sketch_agg
 
@@ -167,6 +168,24 @@ def bench_queries(spark) -> dict[str, float]:
     sigs = minhash_signatures(docs.select("doc_id", "text"))
     minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.7).agg(F.count(F.lit(1))).collect()
     out["minhash_lsh"] = time.time() - t0
+
+    t0 = time.time()
+    # replicated docs: exercises the batch-vectorized reduceat bit-votes
+    simhash(d.select("doc_id", "text")).agg(F.count(F.lit(1))).collect()
+    out["simhash"] = time.time() - t0
+
+    t0 = time.time()
+    # hyperplane signatures at realistic embedding scale (dim=256, bits=24)
+    emb = spark.range(50_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 256), i -> cast(rand(42) * 2 - 1 as double))").alias(
+            "embedding"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    hyperplane_signatures(emb, dim=256, bits=24).agg(
+        F.countDistinct("bucket")
+    ).collect()
+    out["hyperplane_sigs"] = time.time() - t0
 
     return out
 

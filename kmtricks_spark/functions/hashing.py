@@ -53,13 +53,14 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash64_np(windows: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Hash each row of a (n, width) uint8 array to uint64, vectorized.
+    """Hash each row of a (n, width) unsigned-int array to uint64.
 
-    Polynomial accumulate over bytes then splitmix64 avalanche. Used for
-    minimizer selection and sketch inputs inside Arrow batches.
+    Polynomial accumulate over the columns (bytes, or UCS4 codepoints for
+    token hashing) then splitmix64 avalanche. Used for minimizer
+    selection, shingle/token hashing, and sketch inputs in Arrow batches.
     """
     if windows.ndim != 2:
-        raise ValueError("expected (n, width) uint8 array")
+        raise ValueError("expected a (n, width) array")
     acc = np.full(windows.shape[0], np.uint64(seed) + _SM_GAMMA, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(windows.shape[1]):

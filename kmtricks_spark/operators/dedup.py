@@ -204,23 +204,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes, padding-invariant.
+    """Deterministic 64-bit token hashes, padding-invariant, no per-token
+    Python.
 
-    hash64_np folds every padded byte into the polynomial, so hashing a
-    zero-padded matrix would make a token's hash depend on the batch's
-    longest token. Instead tokens are bucketed by exact byte length and
-    each bucket hashed at its own width (seed = length disambiguates
-    prefixes) — same token, same hash, in any doc or batch."""
-    enc = [t.encode("utf-8") for t in toks]
-    lens = np.array([len(e) for e in enc], dtype=np.int64)
-    maxlen = int(lens.max())
-    arr = np.zeros((len(enc), maxlen), dtype=np.uint8)
-    for i, e in enumerate(enc):
-        arr[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
-    out = np.empty(len(enc), dtype=np.uint64)
+    numpy parses the token list straight into a fixed-width UCS4 array
+    (C speed); the polynomial then runs over CODEPOINT columns, bucketed
+    by exact token length so zero padding never reaches the hash (a
+    padded-width hash would make a token's value depend on the batch's
+    longest token). seed = length disambiguates prefixes ('ab' vs 'ab'+
+    NUL is impossible anyway; 'a' vs 'ab' hash under different seeds)."""
+    arr = np.asarray(toks, dtype="U")
+    n = len(toks)
+    maxlen = max(arr.dtype.itemsize // 4, 1)
+    u32 = arr.view(np.uint32).reshape(n, maxlen)
+    lens = np.char.str_len(arr)
+    out = np.empty(n, dtype=np.uint64)
     for L in np.unique(lens):
         idx = lens == L
-        out[idx] = hash64_np(arr[idx, : int(L)], seed=int(L))
+        out[idx] = hash64_np(u32[idx, : int(L)], seed=int(L))
     return out
 
 
