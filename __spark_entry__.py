@@ -371,9 +371,13 @@ def _q_minhash_exact_dups(spark, sf_dir):
             lambda i: F.substring(F.col("text"), i, 5),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # docs with zero grams are excluded from verification entirely (the
+    # oracle's unnest drops them too — md5('') would otherwise pair all
+    # degenerate docs with each other)
     fps = docs.select(
-        "doc_id", F.md5(F.concat_ws("", F.array_sort(F.array_distinct(grams)))).alias("fp")
-    )
+        "doc_id",
+        F.array_sort(F.array_distinct(grams)).alias("g"),
+    ).where(F.size("g") > 0).select("doc_id", F.md5(F.concat_ws("", "g")).alias("fp"))
     sigs = minhash_signatures(docs)
     cand = minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=1.0)
     fa = fps.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
@@ -397,8 +401,10 @@ def _q_simhash_exact_dups(spark, sf_dir):
     at hamming 0 (observed on this corpus), hence the verify step."""
     docs = _dup_docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    fps = docs.select(
-        "doc_id", F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("fp")
+    # token-less docs excluded, mirroring the oracle's unnest (see the
+    # minhash variant above)
+    fps = docs.select("doc_id", toks.alias("t")).where(F.size("t") > 0).select(
+        "doc_id", F.md5(F.concat_ws(" ", F.array_sort("t"))).alias("fp")
     )
     sh = simhash(docs)
     cand = simhash_near_pairs(sh, max_hamming=0)

@@ -164,12 +164,18 @@ def _post_op(spark, args) -> int:
     elif args.cmd == "combine":
         la, lb = read_lineage(args.run_dir, "matrix"), read_lineage(args.other, "matrix")
         if la and lb:
-            check_repart_compat(la["params"], lb["params"])
+            check_repart_compat(
+                la["params"], lb["params"], dir_a=args.run_dir, dir_b=args.other
+            )
         a = spark.read.parquet(f"{args.run_dir}/matrix")
         b = spark.read.parquet(f"{args.other}/matrix")
-        wa = a.select(F.size("counts")).first()[0]
-        wb = b.select(F.size("counts")).first()[0]
-        combine(a, b, wa, wb).write.mode("overwrite").parquet(args.output)
+        ra, rb = a.select(F.size("counts")).first(), b.select(F.size("counts")).first()
+        if ra is None or rb is None:
+            raise SystemExit(
+                f"combine: empty matrix table in "
+                f"{args.run_dir if ra is None else args.other}"
+            )
+        combine(a, b, ra[0], rb[0]).write.mode("overwrite").parquet(args.output)
     else:  # filter
         matrix = spark.read.parquet(f"{args.run_dir}/matrix")
         key = spark.read.parquet(args.key_counts)

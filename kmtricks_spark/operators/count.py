@@ -24,27 +24,42 @@ from kmtricks_spark.functions.hashing import part_id_col
 from kmtricks_spark.functions.shingles import kgram_partials_arrow, kgrams_sql
 
 
+def resolve_method(cfg: KmConfig) -> str:
+    """'auto' -> the measured-faster JVM path: explode+substring with
+    Tungsten partial agg beats the Arrow pre-count ~1.6x at equal
+    semantics (BENCH r1); bytes mode keeps byte-identical extraction
+    without Python. Shared by count_kgrams and the sampled-repartition
+    pre-pass so both always see the same kgram representation."""
+    if cfg.method == "auto":
+        return "sql" if cfg.kgram_as_string else "sql_bytes"
+    return cfg.method
+
+
 def count_kgrams(df: DataFrame, cfg: KmConfig, hot_map: dict | None = None) -> DataFrame:
     """Exact counts: (part_id, sample_id, kgram, count), count >= hard_min.
 
     method='arrow' pre-counts inside the scan task (super-k-mer-style
-    shuffle compression), 'sql' explodes shingles and relies on Spark's
-    partial aggregation; 'auto' = arrow (byte-exact, lowest shuffle).
+    shuffle compression), 'sql' explodes shingles with Spark's partial
+    aggregation ('auto' resolves to sql/sql_bytes — see resolve_method).
 
     Partitioning (R2/R3): part_id is static xxhash64(kgram)%P by default.
     With cfg.repartition_type='sampled' (or an explicit hot_map), the top
     sampled kgrams are routed by an LPT-balanced map (reference default,
     task.hpp:183-199) and only the long tail falls back to static hash —
     the map is broadcast, never a literal plan. Count VALUES are identical
-    either way; only partition placement changes.
+    either way; only partition placement changes. Sampled routing applies
+    to the sql paths only: the arrow path assigns part_id inside the scan
+    task via minimizers, so asking for both is a config error (raised,
+    not silently ignored).
     """
-    method = cfg.method
-    if method == "auto":
-        # JVM explode+substring with Tungsten partial agg beats the Arrow
-        # pre-count path ~1.6x at equal semantics (measured, BENCH r1);
-        # bytes mode keeps byte-identical extraction without Python.
-        method = "sql" if cfg.kgram_as_string else "sql_bytes"
+    method = resolve_method(cfg)
     if method == "arrow":
+        if hot_map or cfg.repartition_type == "sampled":
+            raise ValueError(
+                "repartition_type='sampled'/hot_map is not applicable to "
+                "method='arrow' (minimizer partitioning happens in-scan); "
+                "use method='sql'/'sql_bytes'"
+            )
         partials = kgram_partials_arrow(df, cfg)
         counts = partials.groupBy("part_id", "sample_id", "kgram").agg(
             F.sum("pcount").alias("count")

@@ -211,13 +211,15 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     (C speed); the polynomial then runs over CODEPOINT columns, bucketed
     by exact token length so zero padding never reaches the hash (a
     padded-width hash would make a token's value depend on the batch's
-    longest token). seed = length disambiguates prefixes ('ab' vs 'ab'+
-    NUL is impossible anyway; 'a' vs 'ab' hash under different seeds)."""
+    longest token). Lengths come from Python len(), not np.char.str_len:
+    numpy strips trailing NULs, so 'ab\\x00' (a token str.split() can
+    produce) would otherwise collide with 'ab' — the true length seeds
+    the hash, keeping them distinct."""
     arr = np.asarray(toks, dtype="U")
     n = len(toks)
     maxlen = max(arr.dtype.itemsize // 4, 1)
     u32 = arr.view(np.uint32).reshape(n, maxlen)
-    lens = np.char.str_len(arr)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
     out = np.empty(n, dtype=np.uint64)
     for L in np.unique(lens):
         idx = lens == L

@@ -18,14 +18,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def check_repart_compat(params_a: dict, params_b: dict) -> None:
+def check_repart_compat(
+    params_a: dict, params_b: dict, dir_a: str | None = None, dir_b: str | None = None
+) -> None:
     """Combine/filter require both runs to share the partitioning config
-    (k, m, nb_partitions) — the reference refuses otherwise
-    (task.hpp:136-147). Compare the lineage params of the two runs."""
-    for key in ("k", "m", "nb_partitions"):
+    — the reference refuses otherwise (task.hpp:136-147). Beyond k/m/P,
+    the PLACEMENT provenance must agree: a sampled run's part_ids follow
+    its hot map, so mixing it with a static run (or a differently-sampled
+    one) silently violates the one-partition-per-kgram invariant for
+    downstream bloom/restrict consumers. Two sampled runs are compatible
+    only when they demonstrably share one map: equal --repart-from paths,
+    or one side's repart_from resolving to the other run's own
+    partitioner.json."""
+    import os
+
+    for key in ("k", "m", "nb_partitions", "repartition_type"):
         if str(params_a.get(key)) != str(params_b.get(key)):
             raise ValueError(
                 f"incompatible runs: {key}={params_a.get(key)!r} vs {params_b.get(key)!r}"
+            )
+    if str(params_a.get("repartition_type")) == "sampled":
+        def own_map(d):
+            return os.path.abspath(os.path.join(d, "partitioner.json")) if d else None
+
+        ra, rb = params_a.get("repart_from"), params_b.get("repart_from")
+        ra = os.path.abspath(str(ra)) if ra and str(ra) != "None" else None
+        rb = os.path.abspath(str(rb)) if rb and str(rb) != "None" else None
+        shared = (
+            (ra is not None and ra == rb)
+            or (rb is not None and rb == own_map(dir_a))
+            or (ra is not None and ra == own_map(dir_b))
+        )
+        if not shared:
+            raise ValueError(
+                "incompatible runs: both are 'sampled' but do not share a "
+                "hot map — re-run one with --repart-from pointing at the "
+                f"other's partitioner.json (got {ra!r} vs {rb!r})"
             )
 
 

@@ -212,7 +212,11 @@ def frame_sample(df: DataFrame, every_ms: int = 500) -> DataFrame:
         "payload",
         "duration_ms",
         F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            # greatest(..., 0): duration_ms=0 must yield [0], not the
+            # descending sequence(0, -1) which Spark rejects
+            F.sequence(
+                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+            )
         ).alias("frame_ts_ms"),
     )
 

@@ -126,10 +126,21 @@ def sample_kgram_hot_map(
 
     One light job over `fraction` of the input, before the counting job;
     the map is tiny (<= top entries) and reusable via save_partitioner
-    (--repart-from)."""
+    (--repart-from). The sample pass mirrors the count path's kgram
+    representation exactly — bytes mode and DNA canonicalization included
+    — or the map keys could never match the keys being routed."""
     from kmtricks_spark.functions.shingles import kgrams_sql
+    from kmtricks_spark.operators.count import resolve_method
 
-    sh = kgrams_sql(df.sample(fraction=fraction, seed=42), cfg)
+    sh = kgrams_sql(
+        df.sample(fraction=fraction, seed=42),
+        cfg,
+        bytes_mode=(resolve_method(cfg) == "sql_bytes"),
+    )
+    if cfg.alphabet == "dna":
+        from kmtricks_spark.functions.dna import canonicalize_kgrams
+
+        sh = canonicalize_kgrams(sh)
     hot = (
         sh.groupBy("kgram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -144,13 +155,19 @@ def sample_kgram_hot_map(
 
 def save_partitioner(path: str, hot_map: dict, k: int, m: int, nb_partitions: int) -> None:
     """Persist the sampled map for reuse across runs (--repart-from,
-    task.hpp:136-147,209-222): k, m, P recorded and checked on load."""
+    task.hpp:136-147,209-222): k, m, P recorded and checked on load.
+    Bytes keys (sql_bytes kgrams) are hex-encoded — str(bytes) would
+    persist junk like \"b'AC'\" that never matches a key again."""
     import json
 
+    if any(isinstance(kk, (bytes, bytearray)) for kk in hot_map):
+        enc, keys = "hex", {bytes(kk).hex(): vv for kk, vv in hot_map.items()}
+    else:
+        enc, keys = "utf8", {str(kk): vv for kk, vv in hot_map.items()}
     with open(path, "w") as f:
         json.dump(
             {"k": k, "m": m, "nb_partitions": nb_partitions,
-             "hot_map": {str(kk): vv for kk, vv in hot_map.items()}},
+             "key_encoding": enc, "hot_map": keys},
             f,
         )
 
@@ -167,6 +184,8 @@ def load_partitioner(path: str, k: int, m: int, nb_partitions: int) -> dict:
             raise ValueError(
                 f"partitioner {name} mismatch: run has {want}, file has {rec[name]}"
             )
+    if rec.get("key_encoding") == "hex":
+        return {bytes.fromhex(kk): vv for kk, vv in rec["hot_map"].items()}
     return rec["hot_map"]
 
 

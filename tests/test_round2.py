@@ -135,6 +135,24 @@ def test_cli_post_ops_roundtrip(tmp_path, sf_dir):
     assert rec3["rows"] == s.read.parquet(os.path.join(rd_a, "matrix")).count()
 
 
+def test_spark_submit_pyfiles(tmp_path, sf_dir):
+    """North-rule launch shape: spark-submit --py-files <zip> — the engine
+    must import from the shipped zip alone (the driver script lives in
+    tools/, which does not contain the package)."""
+    zip_path = "/root/repo/dist/kmtricks_spark.zip"
+    if not os.path.exists(zip_path):
+        subprocess.run(["bash", "tools/make_pyfiles.sh"], cwd="/root/repo", check=True)
+    r = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[8]",
+         "--py-files", zip_path, "/root/repo/tools/submit_smoke.py",
+         os.path.join(sf_dir, "documents.parquet"), str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["status"] == {"counts": "done"} and rec["count_rows"] > 0
+
+
 def test_ngram_short_docs_and_max_df(spark):
     rows = [(1, "just two"), (2, "a b c d e common x"), (3, "a b c d e common y")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
@@ -147,6 +165,86 @@ def test_ngram_short_docs_and_max_df(spark):
     uncapped = ngram_jaccard_pairs(ud, n=3, min_jaccard=0.0).count()
     capped = ngram_jaccard_pairs(ud, n=3, min_jaccard=0.0, max_df=3).count()
     assert uncapped == 30 * 29 // 2 and capped == 0
+
+
+def test_sampled_bytes_mode_and_dna(spark, zipf_docs):
+    """Review regressions: the sampling pre-pass must mirror the count
+    path's kgram representation (bytes mode, DNA canonicalization)."""
+    bcfg = CFG.with_(kgram_as_string=False, repartition_type="sampled")
+    a = count_kgrams(zipf_docs, bcfg).select("sample_id", "kgram", "count")
+    b = count_kgrams(zipf_docs, CFG.with_(kgram_as_string=False)).select(
+        "sample_id", "kgram", "count"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    dna = spark.createDataFrame(
+        [("s0", "ACGTACGTACGT" * 40), ("s1", "TTTTACGTACGT" * 40)], ["source", "text"]
+    )
+    dcfg = CFG.with_(alphabet="dna", repartition_type="sampled", hard_min=1)
+    x = count_kgrams(dna, dcfg).select("sample_id", "kgram", "count")
+    y = count_kgrams(dna, dcfg.with_(repartition_type="static")).select(
+        "sample_id", "kgram", "count"
+    )
+    assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+    # sampled routing actually engaged: hot canonical kgrams must appear
+    # in the map (keys in canonical form, else the join would miss)
+    from kmtricks_spark.operators.partitioner import sample_kgram_hot_map
+
+    hm = sample_kgram_hot_map(dna, dcfg, fraction=1.0, top=16)
+
+    def canon(s):  # min(kmer, revcomp) under the A<C<T<G encoding order
+        enc = str.maketrans("ACTG", "0123")
+        rc = s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        return s if s.translate(enc) <= rc.translate(enc) else rc
+
+    assert hm and all(canon(k) == k for k in hm)
+
+
+def test_partitioner_bytes_keys_roundtrip(tmp_path):
+    from kmtricks_spark.operators.partitioner import load_partitioner, save_partitioner
+
+    p = str(tmp_path / "part.json")
+    hm = {b"ACGTACGT": [3], b"\x00\xffbin": [1]}
+    save_partitioner(p, hm, k=8, m=4, nb_partitions=8)
+    assert load_partitioner(p, 8, 4, 8) == hm
+
+
+def test_arrow_sampled_raises(spark, zipf_docs):
+    with pytest.raises(ValueError, match="arrow"):
+        count_kgrams(zipf_docs, CFG.with_(method="arrow", repartition_type="sampled"))
+
+
+def test_frame_sample_zero_duration(spark):
+    from kmtricks_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample
+
+    rows = [(1, "video", bytearray(b"FRMS\x00\x00\x00\x00"), "video/x-frames", 1, 1, 0)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = frame_sample(df, every_ms=500).collect()
+    assert [r.frame_ts_ms for r in got] == [0]
+
+
+def test_repart_compat_placement_provenance(tmp_path):
+    from kmtricks_spark.operators.matrix_ops import check_repart_compat
+
+    base = {"k": 8, "m": 4, "nb_partitions": 8}
+    # static + static: fine
+    check_repart_compat({**base, "repartition_type": "static"},
+                        {**base, "repartition_type": "static"})
+    # sampled vs static: refused
+    with pytest.raises(ValueError, match="repartition_type"):
+        check_repart_compat({**base, "repartition_type": "sampled"},
+                            {**base, "repartition_type": "static"})
+    # two independently-sampled runs: refused
+    with pytest.raises(ValueError, match="share"):
+        check_repart_compat({**base, "repartition_type": "sampled", "repart_from": None},
+                            {**base, "repartition_type": "sampled", "repart_from": None})
+    # B reused A's own map: accepted
+    check_repart_compat(
+        {**base, "repartition_type": "sampled", "repart_from": None},
+        {**base, "repartition_type": "sampled",
+         "repart_from": str(tmp_path / "runA" / "partitioner.json")},
+        dir_a=str(tmp_path / "runA"), dir_b=str(tmp_path / "runB"),
+    )
 
 
 def test_auto_partitions(spark, sf_dir):
