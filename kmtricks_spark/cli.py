@@ -73,6 +73,14 @@ def main(argv=None):
         _add_common(sp)
         sp.add_argument("--input", required=False)
 
+    rp = sub.add_parser("repart", help="build + persist the sampled partitioner only (cli.cpp repart)")
+    _add_common(rp)
+    rp.add_argument("--input", required=True)
+
+    info = sub.add_parser("infos", help="print run_infos + per-stage lineage summary")
+    info.add_argument("--run-dir", required=True)
+    info.add_argument("--cores", type=int, default=None)
+
     dump = sub.add_parser("dump", help="stage table -> stdout sample")
     dump.add_argument("--run-dir", required=True)
     dump.add_argument("--stage", required=True)
@@ -103,8 +111,24 @@ def main(argv=None):
     filt.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
+    if args.cmd == "infos":
+        return _infos(args.run_dir)
     spark = get_spark(cores=args.cores)
     try:
+        if args.cmd == "repart":
+            from kmtricks_spark.operators.partitioner import (
+                sample_kgram_hot_map,
+                save_partitioner,
+            )
+            import os
+
+            cfg = _cfg_from(args)
+            hot = sample_kgram_hot_map(spark.read.parquet(args.input), cfg)
+            os.makedirs(args.run_dir, exist_ok=True)
+            out = os.path.join(args.run_dir, "partitioner.json")
+            save_partitioner(out, hot, cfg.k, cfg.m, cfg.nb_partitions)
+            print(json.dumps({"repart": "done", "path": out, "hot_keys": len(hot)}))
+            return 0
         if args.cmd == "dump":
             df = spark.read.parquet(f"{args.run_dir}/{args.stage}")
             df.show(args.limit, truncate=False)
@@ -140,6 +164,32 @@ def main(argv=None):
         return 0
     finally:
         spark.stop()
+
+
+def _infos(run_dir: str) -> int:
+    """run_infos.txt analogue (task_scheduler.hpp:453-457): wall time,
+    per-stage lineage rows/checksums. Pure filesystem — no Spark."""
+    import os
+
+    out = {"run_dir": run_dir}
+    ri = os.path.join(run_dir, "run_infos.json")
+    if os.path.exists(ri):
+        with open(ri) as f:
+            out["run_infos"] = json.load(f)
+    stages = {}
+    ldir = os.path.join(run_dir, "_lineage")
+    if os.path.isdir(ldir):
+        for fn in sorted(os.listdir(ldir)):
+            with open(os.path.join(ldir, fn)) as f:
+                rec = json.load(f)
+            stages[rec["stage"]] = {
+                "output_rows": rec.get("output_rows"),
+                "checksum": rec.get("checksum"),
+                "partitions": len(rec.get("partitions") or {}) or None,
+            }
+    out["stages"] = stages
+    print(json.dumps(out))
+    return 0
 
 
 def _post_op(spark, args) -> int:

@@ -153,6 +153,19 @@ def test_spark_submit_pyfiles(tmp_path, sf_dir):
     assert rec["status"] == {"counts": "done"} and rec["count_rows"] > 0
 
 
+def test_cli_repart_and_infos(tmp_path, sf_dir):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "rep")
+    rec = json.loads(_cli(["repart", "--input", inp, "--run-dir", rd,
+                           "--nb-partitions", "8", "--cores", "8"]))
+    assert rec["hot_keys"] > 0 and os.path.exists(rec["path"])
+    rd2 = str(tmp_path / "run")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd2, "--until", "counts",
+          "--nb-partitions", "8", "--repart-from", rec["path"], "--cores", "8"])
+    info = json.loads(_cli(["infos", "--run-dir", rd2]))
+    assert info["stages"]["counts"]["output_rows"] > 0
+
+
 def test_ngram_short_docs_and_max_df(spark):
     rows = [(1, "just two"), (2, "a b c d e common x"), (3, "a b c d e common y")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
