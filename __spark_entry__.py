@@ -272,7 +272,9 @@ def _q_revenue_by_nation(spark, sf_dir):
 def _q_hll_per_sample(spark, sf_dir):
     counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1))
     hashed = counts.select("sample_id", F.xxhash64("kgram").alias("h"))
-    agg = sketch_agg(hashed, ["sample_id"], "h", "hll", p=14)
+    # 20 groups over the whole corpus -> the two-level salted merge is
+    # the scale path (bounded fan-in per reducer); result byte-identical
+    agg = sketch_agg(hashed, ["sample_id"], "h", "hll", salt_buckets=16, p=14)
     return agg.select("sample_id", F.round(hll_estimate_col(), 2).alias("est_distinct"))
 
 
@@ -428,7 +430,12 @@ def _q_cms_word_freq(spark, sf_dir):
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
     hashed = toks.select(F.lit("all").alias("g"), F.xxhash64("tok").alias("h"))
-    payload = bytes(sketch_agg(hashed, ["g"], "h", "cms", width=2719, depth=5).collect()[0]["payload"])
+    # ONE global group: without the salted level every partial would
+    # funnel through a single reducer at corpus scale
+    payload = bytes(
+        sketch_agg(hashed, ["g"], "h", "cms", salt_buckets=16, width=2719, depth=5)
+        .collect()[0]["payload"]
+    )
     top = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
         .orderBy(F.col("exact").desc(), "tok").limit(20).collect()

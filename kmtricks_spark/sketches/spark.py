@@ -84,25 +84,58 @@ def sketch_partials(
     return df.select(*group_cols, value_col).mapInPandas(gen, schema=schema)
 
 
-def sketch_merge(partials: DataFrame, group_cols: list[str], kind: str) -> DataFrame:
-    """Reduce payloads to one per group (associative merge)."""
+def _merge_level(partials: DataFrame, keys: list[str], kind: str) -> DataFrame:
     ad = ADAPTERS[kind]
     schema = StructType(
-        [partials.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
+        [partials.schema[c] for c in keys] + [StructField("payload", BinaryType())]
     )
 
     def reduce_group(key, pdf):
         merged = ad.merge_payloads(list(pdf["payload"]))
-        return pd.DataFrame([(*key, merged)], columns=group_cols + ["payload"])
+        return pd.DataFrame([(*key, merged)], columns=keys + ["payload"])
 
-    return partials.groupBy(*group_cols).applyInPandas(reduce_group, schema=schema)
+    return partials.groupBy(*keys).applyInPandas(reduce_group, schema=schema)
+
+
+def sketch_merge(
+    partials: DataFrame, group_cols: list[str], kind: str, salt_buckets: int | None = None
+) -> DataFrame:
+    """Reduce payloads to one per group (associative merge).
+
+    With few distinct groups, a single-level merge funnels EVERY partial
+    of a group through one reducer task — at 10^12 input rows that is
+    millions of payloads in one task. ``salt_buckets=B`` adds an
+    intermediate level: groupBy(group, salt) first (B-way fan-in per
+    group; salt = hash of the payload bytes, deterministic), then the
+    final groupBy(group) merges exactly <=B payloads. Associativity makes
+    the result byte-identical for hll/cms (register-max / cell-sum) and
+    bound-equivalent for kll/t-digest (tested both ways)."""
+    if salt_buckets and salt_buckets > 1:
+        salted = partials.withColumn(
+            "__salt", F.pmod(F.xxhash64("payload"), F.lit(salt_buckets)).cast("int")
+        )
+        partials = _merge_level(salted, group_cols + ["__salt"], kind)
+    return _merge_level(partials, group_cols, kind)
 
 
 def sketch_agg(
-    df: DataFrame, group_cols: list[str], value_col: str, kind: str, **params
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    kind: str,
+    salt_buckets: int | None = None,
+    **params,
 ) -> DataFrame:
-    """partials + merge in one call: one payload row per group."""
-    return sketch_merge(sketch_partials(df, group_cols, value_col, kind, **params), group_cols, kind)
+    """partials + merge in one call: one payload row per group. Pass
+    salt_buckets when group cardinality is small relative to input size
+    (the two-level merge is the scale path for global/low-cardinality
+    sketches)."""
+    return sketch_merge(
+        sketch_partials(df, group_cols, value_col, kind, **params),
+        group_cols,
+        kind,
+        salt_buckets=salt_buckets,
+    )
 
 
 # ------------------------------------------------------------- finalizers

@@ -42,6 +42,25 @@ def test_partial_then_merge_equals_whole(spark, docs):
     assert np.array_equal(hll.deserialize(bytes(merged)), whole)
 
 
+def test_two_level_merge_identical(spark, docs):
+    """Salted intermediate merge (the low-cardinality scale path) must be
+    byte-identical for hll/cms (associative + commutative register ops)."""
+    hashed = docs.select(F.lit("all").alias("g"), F.xxhash64("text").alias("h")).repartition(9)
+    for kind, params in (("hll", {"p": 12}), ("cms", {"width": 257, "depth": 3})):
+        one = sketch_agg(hashed, ["g"], "h", kind, **params).collect()[0]["payload"]
+        two = sketch_agg(hashed, ["g"], "h", kind, salt_buckets=8, **params).collect()[0][
+            "payload"
+        ]
+        assert bytes(one) == bytes(two), kind
+    # kll: payload may differ (compaction order) but quantiles stay in bound
+    vals = docs.select(F.lit("all").alias("g"), F.length("text").cast("double").alias("v"))
+    exact = sorted(r.v for r in vals.collect())
+    q2 = sketch_agg(vals.repartition(9), ["g"], "v", "kll", salt_buckets=8, k=200).collect()[0]
+    est = kll.quantile(kll.deserialize(bytes(q2["payload"])), 0.5)
+    rank = np.searchsorted(exact, est) / len(exact)
+    assert abs(rank - 0.5) < 0.05
+
+
 def test_kll_quantiles_vs_exact(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     got = (
