@@ -19,8 +19,10 @@ from kmtricks_spark.config import KmConfig
 from kmtricks_spark.functions.text import (
     STOPWORDS,
     fingerprint,
+    gopher_filters,
     lang_guess,
     quality_score,
+    tfidf_top_terms,
     token_stats,
 )
 from kmtricks_spark.operators.count import count_kgrams, histogram, thresholds_from_histogram
@@ -161,6 +163,14 @@ def _q_lang_guess(spark, sf_dir):
 
 def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def _q_gopher_filters(spark, sf_dir):
+    return gopher_filters(_docs(spark, sf_dir))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    return tfidf_top_terms(_docs(spark, sf_dir), top=3)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -534,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_fingerprint,
+        "gopher_filters": _q_gopher_filters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "topk_cosine": _q_topk_cosine,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -679,6 +691,52 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(f"{hits[l]} AS hh_{l}" for l in langs)
         + " FROM documents)",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "gopher_filters": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 length(replace(text, ' ', '')) / greatest(len(toks), 1) AS mean_wl,
+                 len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(toks), 1.0) AS alpha_ratio,
+                 length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / greatest(len(toks), 1.0) AS sym_ratio,
+                 ({" + ".join(f"list_contains(list_distinct(toks), '{w}')::INT" for w in STOPWORDS["en"])})
+                   AS stop_hits
+          FROM t
+        )
+        SELECT doc_id,
+               (n_words BETWEEN 50 AND 100000)::INT AS ok_word_count,
+               (mean_wl >= 3.0 AND mean_wl <= 10.0)::INT AS ok_mean_word_len,
+               (alpha_ratio >= 0.80)::INT AS ok_alpha_ratio,
+               (sym_ratio <= 0.10)::INT AS ok_symbol_ratio,
+               (stop_hits >= 2)::INT AS ok_stopwords,
+               ((n_words BETWEEN 50 AND 100000) AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                AND alpha_ratio >= 0.80 AND sym_ratio <= 0.10 AND stop_hits >= 2)::INT AS keep
+        FROM m
+        """,
+        "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        s AS (
+          SELECT doc_id, term, round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfq USING (term), n
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM s
+        )
+        SELECT doc_id, term, tfidf, rank::INT AS rank FROM r WHERE rank <= 3
+        """,
         "ngram_jaccard_pairs": """
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -144,3 +144,73 @@ def winnow_fingerprints(
         F.min("h").over(w).alias("fp"),
     ).where(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))  # pos is 0-based
     return mins.select(id_col, "fp").distinct()
+
+
+def gopher_filters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics), each a pure Column expression:
+
+    * word count in [50, 100000]
+    * mean word length in [3, 10]
+    * fraction of words containing an alphabetic char >= 0.80
+    * symbol-to-word ratio (non-alphanumeric, non-space chars / words)
+      <= 0.10
+    * >= 2 distinct English stopword hits
+
+    Returns one row per doc with each flag plus the conjunction. Flags are
+    ints (0/1) so the oracle comparison is dtype-stable.
+    """
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    nw_d = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) / nw_d
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    symbols = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_alpha_ratio": (alpha_words / nw_d) >= 0.80,
+        "ok_symbol_ratio": (symbols / nw_d) <= 0.10,
+        "ok_stopwords": stop_hits >= 2,
+    }
+    cols = [F.when(c, 1).otherwise(0).cast("int").alias(n) for n, c in flags.items()]
+    out = df.select(F.col(id_col), *cols)
+    keep = None
+    for n in flags:
+        keep = F.col(n) if keep is None else (keep * F.col(n))
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, top: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top `top` terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), deterministic ties by term asc.
+
+    Relational plan, not a UDF: explode -> per-(doc, term) counts -> join
+    the document-frequency table on term (same shuffle key) -> row_number
+    window per doc. At corpus scale the df table is the only global
+    state and it shuffles once on term. Scores rounded to 6dp so the
+    double ln() agrees across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    n_docs = df.count()
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -272,6 +272,39 @@ def test_auto_partitions(spark, sf_dir):
     assert auto_partitions(spark, inp, bytes_per_partition=1, cap=64) == 64
 
 
+def test_gopher_filters_flags(spark):
+    from kmtricks_spark.functions.text import gopher_filters
+
+    good = "the quick brown fox jumps over a lazy dog and " * 8  # 80 words, stopwords
+    rows = [
+        (1, good),
+        (2, "short doc"),                          # word count fails
+        (3, ("#@! " * 80)),                        # symbols/alpha fail
+    ]
+    out = {r.doc_id: r for r in gopher_filters(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].keep == 1
+    assert out[2].ok_word_count == 0 and out[2].keep == 0
+    assert out[3].ok_alpha_ratio == 0 and out[3].ok_symbol_ratio == 0 and out[3].keep == 0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from kmtricks_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple apple shared shared common"),
+        (2, "banana banana shared common common common"),
+        (3, "cherry common shared shared shared shared"),
+    ]
+    out = tfidf_top_terms(spark.createDataFrame(rows, ["doc_id", "text"]), top=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # tf*idf with idf = ln((N+1)/(df+1))+1: apple 3*ln(2)+3=5.08,
+    # banana 2*1.69=3.39, and for doc 3 'shared'x4 (df=3, idf=1.0) = 4.0
+    # beats the unique 'cherry' (1.69) — frequency can outweigh rarity
+    assert top == {1: "apple", 2: "banana", 3: "shared"}
+    assert all(r.rank == 1 for r in out)
+
+
 def test_minhash_short_docs_not_aliased(spark):
     rows = [(1, "cat"), (2, "dog"), (3, "xy"), (4, "cat")]
     sigs = minhash_signatures(spark.createDataFrame(rows, ["doc_id", "text"]))
