@@ -169,6 +169,12 @@ def _q_gopher_filters(spark, sf_dir):
     return gopher_filters(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from kmtricks_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), top=3)
 
@@ -319,6 +325,20 @@ def _q_kll_quantiles(spark, sf_dir):
         ["l_returnflag"], "l_extendedprice", "kll", k=32768,
     )
     return quantile_rows(agg, ["l_returnflag"], [0.25, 0.5, 0.75], "kll")
+
+
+def _q_kll_rank(spark, sf_dir):
+    """Inverse quantile (rank) through the KLL path, exact at oracle
+    scale (k >= n, see _q_kll_quantiles) — hash-matched against
+    count(x <= probe)/n."""
+    from kmtricks_spark.sketches.spark import kll_rank_rows
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = sketch_agg(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"], "l_extendedprice", "kll", k=32768,
+    )
+    return kll_rank_rows(agg, ["l_returnflag"], [10000.0, 30000.0, 60000.0])
 
 
 def _q_tdigest_quantiles(spark, sf_dir):
@@ -545,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_fingerprint,
         "gopher_filters": _q_gopher_filters,
+        "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "topk_cosine": _q_topk_cosine,
@@ -564,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_per_partition_sample": _q_hll_per_partition,
         "kll_count_distribution": _q_kll_count_dist,
         "kll_quantiles": _q_kll_quantiles,
+        "kll_rank": _q_kll_rank,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "bf_fpr_report": _q_bf_fpr,
         "bf_per_sample": _q_bf_per_sample,
@@ -718,6 +740,34 @@ def oracle_sql() -> dict[str, str]:
                ((n_words BETWEEN 50 AND 100000) AND mean_wl >= 3.0 AND mean_wl <= 10.0
                 AND alpha_ratio >= 0.80 AND sym_ratio <= 0.10 AND stop_hits >= 2)::INT AS keep
         FROM m
+        """,
+        "repetition_stats": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        g2 AS (
+          SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) u(i)
+        ),
+        c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top2gram_frac FROM c2 GROUP BY 1),
+        g3 AS (
+          SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) u(i)
+        ),
+        c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+        d3 AS (
+          SELECT doc_id,
+                 round(COALESCE(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE / sum(c), 6)
+                   AS dup3gram_frac
+          FROM c3 GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(top2gram_frac, 0.0) AS top2gram_frac,
+               COALESCE(dup3gram_frac, 0.0) AS dup3gram_frac
+        FROM documents d LEFT JOIN t2 ON t2.doc_id = d.doc_id
+        LEFT JOIN d3 ON d3.doc_id = d.doc_id
         """,
         "tfidf_top_terms": """
         WITH toks AS (
@@ -875,6 +925,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_returnflag, q::DOUBLE AS q, x AS quantile
         FROM r JOIN (VALUES (0.25), (0.5), (0.75)) qs(q)
           ON rn = greatest(ceil(q::DOUBLE * n), 1)
+        """,
+        "kll_rank": """
+        SELECT l_returnflag, probe::DOUBLE AS probe,
+               (count(*) FILTER (WHERE l_extendedprice <= probe::DOUBLE))::DOUBLE
+                 / count(*) AS rank
+        FROM lineitem, (VALUES (10000.0), (30000.0), (60000.0)) ps(probe)
+        GROUP BY 1, 2
         """,
         "kll_count_distribution": f"""
         WITH sh AS (

@@ -214,3 +214,48 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top)
         .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): fraction of all
+    2-gram occurrences taken by the single most frequent 2-gram, and
+    fraction of 3-gram occurrences whose gram appears more than once.
+    High values mark boilerplate/spam.
+
+    Relational shape (explode -> per-(doc, gram) counts -> per-doc
+    rollup): the per-gram grouping keys on (doc_id, gram), so repetition
+    of one doc never concentrates on one reducer at corpus scale. Docs
+    too short for a gram get fraction 0.0 (left join + coalesce).
+    """
+    toks = tokens_col(text_col)
+
+    def gram_rows(n: int):
+        arr = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(arr).alias("gram"))
+
+    c2 = gram_rows(2).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    top2 = c2.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top2gram_frac")
+    )
+    c3 = gram_rows(3).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    dup3 = c3.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup3gram_frac")
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top2gram_frac", F.lit(0.0)).alias("top2gram_frac"),
+            F.coalesce("dup3gram_frac", F.lit(0.0)).alias("dup3gram_frac"),
+        )
+    )

@@ -164,6 +164,25 @@ def tdigest_quantiles_col(qs: list[float], payload_col: str = "payload"):
     return _q(F.col(payload_col))
 
 
+def kll_rank_rows(
+    agg: DataFrame, group_cols: list[str], probes: list[float]
+) -> DataFrame:
+    """Explode KLL rank estimates (fraction of items <= probe) to scalar
+    rows (group..., probe, rank). With k >= n (no compaction) the rank is
+    EXACTLY count(x <= probe)/n — double division of the same integers is
+    bit-identical across engines, so this hash-matches a SQL oracle."""
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _r(p: pd.Series) -> pd.Series:
+        return p.map(lambda b: [kll.rank(kll.deserialize(b), x) for x in probes])
+
+    p_arr = F.array(*[F.lit(float(x)) for x in probes])
+    return (
+        agg.select(*group_cols, F.posexplode(_r(F.col("payload"))).alias("pos", "rank"))
+        .withColumn("probe", F.element_at(p_arr, F.col("pos") + 1))
+        .select(*group_cols, "probe", "rank")
+    )
+
+
 def quantile_rows(
     agg: DataFrame, group_cols: list[str], qs: list[float], kind: str = "kll",
     value_name: str = "quantile",

@@ -305,6 +305,23 @@ def test_tfidf_top_terms_ranking(spark):
     assert all(r.rank == 1 for r in out)
 
 
+def test_repetition_stats_values(spark):
+    from kmtricks_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),   # 2-grams: [a b, b a, a b, b a, a b] -> top 3/5; 3-grams all dup (aba x2? )
+        (2, "x y z w"),       # all 2/3-grams unique -> top2 1/3, dup3 0
+        (3, "solo"),          # no grams -> 0, 0
+    ]
+    out = {r.doc_id: r for r in repetition_stats(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].top2gram_frac == 0.6          # 'a b' 3 of 5
+    # 3-grams of doc1: 'a b a','b a b','a b a','b a b' -> all duplicated
+    assert out[1].dup3gram_frac == 1.0
+    assert out[2].top2gram_frac == round(1 / 3, 6) and out[2].dup3gram_frac == 0.0
+    assert out[3].top2gram_frac == 0.0 and out[3].dup3gram_frac == 0.0
+
+
 def test_minhash_short_docs_not_aliased(spark):
     rows = [(1, "cat"), (2, "dog"), (3, "xy"), (4, "cat")]
     sigs = minhash_signatures(spark.createDataFrame(rows, ["doc_id", "text"]))
