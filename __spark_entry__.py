@@ -304,6 +304,32 @@ def _q_hll_per_partition(spark, sf_dir):
     )
 
 
+def _q_hll_overlap(spark, sf_dir):
+    """HLL set algebra: union is the native payload merge (register max);
+    intersection via inclusion-exclusion est(A)+est(B)-est(A∪B). First 4
+    samples, all pairs. Error bound vs exact overlap asserted in
+    tests/test_sketch_spark.py (rows-only here: estimates are not
+    SQL-computable)."""
+    from kmtricks_spark.sketches import hll
+
+    counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1))
+    hashed = counts.select("sample_id", F.xxhash64("kgram").alias("h"))
+    agg = sketch_agg(hashed, ["sample_id"], "h", "hll", p=14).collect()
+    states = {r["sample_id"]: hll.deserialize(bytes(r["payload"])) for r in agg}
+    samples = sorted(states)[:4]
+    rows = []
+    for i, a in enumerate(samples):
+        for b in samples[i + 1:]:
+            ea, eb = hll.estimate(states[a]), hll.estimate(states[b])
+            eu = hll.estimate(hll.merge(states[a], states[b]))
+            rows.append((a, b, round(float(ea), 2), round(float(eb), 2),
+                         round(float(eu), 2), round(max(float(ea + eb - eu), 0.0), 2)))
+    return spark.createDataFrame(
+        rows,
+        "a string, b string, est_a double, est_b double, est_union double, est_overlap double",
+    )
+
+
 def _q_kll_count_dist(spark, sf_dir):
     """North rule: count-distribution quantiles (how often do shingles of
     each sample repeat) via KLL over the exact count column. k=32768 >=
@@ -360,6 +386,28 @@ def _q_bf_per_sample(spark, sf_dir):
     counts = count_kgrams(_docs(spark, sf_dir), cfg)
     slices = bf_slices(hash_counts(counts, cfg), cfg)
     return bf_concat(slices, cfg).select("sample_id", "total_set", F.length("filter").alias("filter_bytes"))
+
+
+def _q_bf_member_present(spark, sf_dir):
+    """No-false-negative pin, hash-matched: the 5 lexicographically
+    smallest counted kgrams per sample (a deterministic SQL-expressible
+    selection) probed through the full windowed-hash -> slice-bitmap
+    path; every row must report member=1."""
+    from pyspark.sql import Window
+
+    from kmtricks_spark.operators.bloom_stage import bf_probe
+
+    cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 20)
+    counts = count_kgrams(_docs(spark, sf_dir), cfg)
+    slices = bf_slices(hash_counts(counts, cfg), cfg)
+    w = Window.partitionBy("sample_id").orderBy("kgram")
+    probes = (
+        counts.select("sample_id", "kgram")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    return bf_probe(slices, probes, cfg)
 
 
 def _q_bf_layout(spark, sf_dir):
@@ -583,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (approximate / non-SQL-expressible; bounds in tests/)
         "hll_per_sample": _q_hll_per_sample,
         "hll_per_partition_sample": _q_hll_per_partition,
+        "hll_sample_overlap": _q_hll_overlap,
         "kll_count_distribution": _q_kll_count_dist,
         "kll_quantiles": _q_kll_quantiles,
         "kll_rank": _q_kll_rank,
@@ -590,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_fpr_report": _q_bf_fpr,
         "bf_per_sample": _q_bf_per_sample,
         "bf_layout": _q_bf_layout,
+        "bf_member_present": _q_bf_member_present,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
@@ -911,6 +961,17 @@ def oracle_sql() -> dict[str, str]:
         "bf_layout": """
         SELECT DISTINCT source AS sample_id, 131072 AS filter_bytes
         FROM documents
+        """,
+        # 5 smallest counted kgrams per sample, member=1 for all of them:
+        # the Bloom no-false-negative contract through the full pipeline
+        "bf_member_present": _SH
+        + """
+        , r AS (
+          SELECT sample_id, kgram,
+                 row_number() OVER (PARTITION BY sample_id ORDER BY kgram) AS rn
+          FROM c
+        )
+        SELECT sample_id, kgram, 1 AS member FROM r WHERE rn <= 5
         """,
         # KLL with k >= group size never compacts -> exact order statistic
         # sorted[max(ceil(q*n),1)]; q fractions are binary-exact so ceil()

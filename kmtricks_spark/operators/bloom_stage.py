@@ -176,6 +176,44 @@ def fpr_report(slices: DataFrame, cfg: KmConfig) -> DataFrame:
     )
 
 
+def bf_probe(slices: DataFrame, probes: DataFrame, cfg: KmConfig) -> DataFrame:
+    """Distributed membership probe: (sample_id, kgram) rows against the
+    per-(partition, sample) slices. The probe hashes JVM-side with the
+    SAME part/window arithmetic as the build (no re-hash drift possible),
+    joins on (part_id, sample_id), and a vectorized bit check reads the
+    window bitmap. Returns (sample_id, kgram, member int).
+
+    Bloom guarantee under test: member == 1 for every key that was
+    inserted (no false negatives) — which makes present-key probes
+    exactly oracle-comparable; absent keys may report 1 at the modeled
+    FPR."""
+    from kmtricks_spark.functions.hashing import part_id_col
+
+    w = cfg.window_bits
+    p = probes.select(
+        "sample_id",
+        "kgram",
+        part_id_col(F.col("kgram"), cfg.nb_partitions),
+        F.pmod(F.xxhash64("kgram"), F.lit(w)).alias("local_idx"),
+    )
+    j = p.join(
+        slices.select("part_id", "sample_id", "bitmap"), ["part_id", "sample_id"], "left"
+    )
+
+    @F.pandas_udf(IntegerType())
+    def bit_set(bm: pd.Series, local: pd.Series) -> pd.Series:
+        out = np.zeros(len(bm), dtype=np.int32)
+        for i, (b, ix) in enumerate(zip(bm, local)):
+            if b is not None:
+                ix = int(ix)
+                out[i] = (b[ix >> 3] >> (ix & 7)) & 1
+        return pd.Series(out)
+
+    return j.select(
+        "sample_id", "kgram", bit_set(F.col("bitmap"), F.col("local_idx")).alias("member")
+    )
+
+
 def bf_contains(filter_blob: bytes, kgram_hashes_global: np.ndarray) -> np.ndarray:
     """Driver-side membership probe on a concatenated per-sample filter."""
     state = np.frombuffer(filter_blob, dtype=np.uint8)

@@ -61,6 +61,36 @@ def test_two_level_merge_identical(spark, docs):
     assert abs(rank - 0.5) < 0.05
 
 
+def test_hll_overlap_vs_exact(spark, docs):
+    """Inclusion-exclusion overlap estimate within combined-sketch error:
+    3 sketches contribute, so allow ~3x the single-sketch 3-sigma band."""
+    from kmtricks_spark.sketches.spark import sketch_agg
+
+    toks = docs.select(
+        F.col("source").alias("g"), F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select("g", F.xxhash64("tok").alias("h"))
+    agg = sketch_agg(hashed, ["g"], "h", "hll", p=14).collect()
+    from kmtricks_spark.sketches import hll as H
+
+    states = {r["g"]: H.deserialize(bytes(r["payload"])) for r in agg}
+    gs = sorted(states)[:3]
+    sets = {
+        g: {r.tok for r in toks.where(F.col("g") == g).select("tok").distinct().collect()}
+        for g in gs
+    }
+    sigma = 1.04 / np.sqrt(2**14)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1:]:
+            est = (
+                H.estimate(states[a]) + H.estimate(states[b])
+                - H.estimate(H.merge(states[a], states[b]))
+            )
+            exact = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert abs(est - exact) <= 3 * 3 * sigma * union + 2, (a, b, est, exact)
+
+
 def test_kll_quantiles_vs_exact(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     got = (
