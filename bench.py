@@ -113,6 +113,19 @@ def machine_ceiling(lo: int, hi: int) -> dict:
     return {}
 
 
+def _timed(action, reps: int = 2) -> float:
+    """min over `reps` runs: the host drifts ±45% on minute scales, and a
+    single-shot number can record a transient spike as the engine's speed
+    (round 1's driver window did exactly that). min-of-2 ≈ +15s total."""
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        action()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def bench_queries(spark) -> dict[str, float]:
     out = {}
     d = spark.read.parquet(materialize_corpus(spark, REPLICATE))
@@ -124,57 +137,55 @@ def bench_queries(spark) -> dict[str, float]:
         ["g"], "h", "hll", p=10,
     ).collect()
 
-    t0 = time.time()
-    counts = count_kgrams(d, CFG)
-    counts.agg(F.sum("count"), F.count(F.lit(1))).collect()
-    out["count_pipeline"] = time.time() - t0
+    out["count_pipeline"] = _timed(
+        lambda: count_kgrams(d, CFG).agg(F.sum("count"), F.count(F.lit(1))).collect()
+    )
 
     t0 = time.time()
-    counts.write.mode("overwrite").parquet("/tmp/bench_counts.parquet")
-    out["counts_write"] = time.time() - t0
+    count_kgrams(d, CFG).write.mode("overwrite").parquet("/tmp/bench_counts.parquet")
+    out["counts_write"] = time.time() - t0  # side-effecting: single run
 
     counts = spark.read.parquet("/tmp/bench_counts.parquet")
     samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
 
-    t0 = time.time()
     mcfg = CFG.with_(soft_min=3, share_min=3, recurrence_min=2)
-    count_matrix(counts, samples, mcfg).agg(F.count(F.lit(1))).collect()
-    out["merge_matrix"] = time.time() - t0
+    out["merge_matrix"] = _timed(
+        lambda: count_matrix(counts, samples, mcfg).agg(F.count(F.lit(1))).collect()
+    )
 
-    t0 = time.time()
-    hc = hash_counts(counts, CFG.with_(nb_partitions=64, bloom_bits=1 << 24))
-    bf = bf_concat(bf_slices(hc, CFG.with_(nb_partitions=64, bloom_bits=1 << 24)),
-                   CFG.with_(nb_partitions=64, bloom_bits=1 << 24))
-    bf.agg(F.sum("total_set")).collect()
-    out["bloom_build"] = time.time() - t0
+    bcfg = CFG.with_(nb_partitions=64, bloom_bits=1 << 24)
+    out["bloom_build"] = _timed(
+        lambda: bf_concat(bf_slices(hash_counts(counts, bcfg), bcfg), bcfg)
+        .agg(F.sum("total_set")).collect()
+    )
 
-    t0 = time.time()
     hashed = counts.select("sample_id", F.xxhash64("kgram").alias("h"))
-    sketch_agg(hashed, ["sample_id"], "h", "hll", p=14).select(
-        hll_estimate_col()
-    ).collect()
-    out["hll_per_sample"] = time.time() - t0
+    out["hll_per_sample"] = _timed(
+        lambda: sketch_agg(hashed, ["sample_id"], "h", "hll", p=14)
+        .select(hll_estimate_col()).collect()
+    )
 
-    t0 = time.time()
-    histogram(counts).agg(F.count(F.lit(1))).collect()
-    out["histogram"] = time.time() - t0
+    out["histogram"] = _timed(
+        lambda: histogram(counts).agg(F.count(F.lit(1))).collect()
+    )
 
-    t0 = time.time()
     # the source parquet has ~1 row group: spread docs before the
     # signature mapInPandas or it runs on one core
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sigs = minhash_signatures(docs.select("doc_id", "text"))
-    minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.7).agg(F.count(F.lit(1))).collect()
-    out["minhash_lsh"] = time.time() - t0
+    out["minhash_lsh"] = _timed(
+        lambda: minhash_lsh_pairs(
+            minhash_signatures(docs.select("doc_id", "text")),
+            bands=16, rows_per_band=8, min_jaccard=0.7,
+        ).agg(F.count(F.lit(1))).collect()
+    )
 
-    t0 = time.time()
     # replicated docs: exercises the batch-vectorized reduceat bit-votes
-    simhash(d.select("doc_id", "text")).agg(F.count(F.lit(1))).collect()
-    out["simhash"] = time.time() - t0
+    out["simhash"] = _timed(
+        lambda: simhash(d.select("doc_id", "text")).agg(F.count(F.lit(1))).collect()
+    )
 
-    t0 = time.time()
     # hyperplane signatures at realistic embedding scale (dim=256, bits=24)
     emb = spark.range(50_000).select(
         F.col("id").alias("vec_id"),
@@ -182,10 +193,10 @@ def bench_queries(spark) -> dict[str, float]:
             "embedding"
         ),
     ).repartition(spark.sparkContext.defaultParallelism)
-    hyperplane_signatures(emb, dim=256, bits=24).agg(
-        F.countDistinct("bucket")
-    ).collect()
-    out["hyperplane_sigs"] = time.time() - t0
+    out["hyperplane_sigs"] = _timed(
+        lambda: hyperplane_signatures(emb, dim=256, bits=24)
+        .agg(F.countDistinct("bucket")).collect()
+    )
 
     return out
 
