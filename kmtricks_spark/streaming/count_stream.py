@@ -103,6 +103,48 @@ def streaming_hll(
     return q
 
 
+def stateful_streaming_hll(docs: DataFrame, cfg: KmConfig, p: int = 12) -> DataFrame:
+    """Distinct-shingle cardinality per sample with the HLL payload held
+    as SPARK-MANAGED state (applyInPandasWithState), not a driver dict:
+    state scales with executors and survives checkpoint/restart, the
+    pattern that holds at millions of groups. Emits one (sample_id,
+    est_distinct) row per group per micro-batch; estimates are monotone
+    non-decreasing, and the final payload equals the batch computation
+    exactly (register-max is order-independent).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kmtricks_spark.sketches import hll
+
+    out_schema = StructType(
+        [
+            StructField("sample_id", StringType()),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("payload", StringType())])
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st = hll.deserialize(bytes.fromhex(state.get[0]))
+        else:
+            st = hll.create(p=p)
+        for pdf in pdfs:
+            hs = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+            st = hll.add_hashes(st, hs)
+        state.update((hll.serialize(st).hex(),))
+        yield pd.DataFrame(
+            {"sample_id": [key[0]], "est_distinct": [float(hll.estimate(st))]}
+        )
+
+    shingles = kgrams_sql(docs, cfg)
+    hashed = shingles.select("sample_id", F.xxhash64("kgram").alias("h"))
+    return hashed.groupBy("sample_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the currently-available input into an in-memory table and
     stop — the batch-equivalence test harness for streaming plans."""

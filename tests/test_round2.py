@@ -277,6 +277,42 @@ def test_auto_partitions(spark, sf_dir):
     assert auto_partitions(spark, inp, bytes_per_partition=1, cap=64) == 64
 
 
+def test_stateful_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
+    """HLL payload as Spark-managed state across micro-batches: the final
+    estimate must EQUAL the batch computation (register-max is
+    order/batching-independent)."""
+    from kmtricks_spark.sketches.spark import hll_estimate_col, sketch_agg
+    from kmtricks_spark.streaming.count_stream import (
+        run_available_now,
+        stateful_streaming_hll,
+        stream_docs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    cfg = KmConfig(k=8, hard_min=1)
+    stream = stateful_streaming_hll(stream_docs(spark, src, max_files=1), cfg, p=12)
+    run_available_now(stream, "hll_state_test", output_mode="update")
+    got = spark.sql(
+        "select sample_id, max(est_distinct) as est from hll_state_test group by 1"
+    ).collect()
+    assert len(got) > 0
+
+    from kmtricks_spark.functions.shingles import kgrams_sql
+
+    hashed = kgrams_sql(docs, cfg).select("sample_id", F.xxhash64("kgram").alias("h"))
+    batch = {
+        r["sample_id"]: r["est"]
+        for r in sketch_agg(hashed, ["sample_id"], "h", "hll", p=12)
+        .select("sample_id", hll_estimate_col().alias("est"))
+        .collect()
+    }
+    for r in got:
+        assert abs(r["est"] - batch[r["sample_id"]]) < 1e-9, r
+
+
 def test_gopher_filters_flags(spark):
     from kmtricks_spark.functions.text import gopher_filters
 
