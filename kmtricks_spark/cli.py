@@ -115,6 +115,13 @@ def main(argv=None):
         return _infos(args.run_dir)
     spark = get_spark(cores=args.cores)
     try:
+        if getattr(args, "nb_partitions", None) == 0:
+            from kmtricks_spark.config import auto_partitions
+
+            inp = getattr(args, "input", None)
+            if not inp:
+                raise SystemExit("--nb-partitions 0 (auto) needs --input")
+            args.nb_partitions = auto_partitions(spark, inp)
         if args.cmd == "repart":
             from kmtricks_spark.operators.partitioner import (
                 sample_kgram_hot_map,
@@ -137,13 +144,6 @@ def main(argv=None):
             return _post_op(spark, args)
         from kmtricks_spark.plans.pipeline import Pipeline
 
-        if args.nb_partitions == 0:
-            from kmtricks_spark.config import auto_partitions
-
-            inp = getattr(args, "input", None)
-            if not inp:
-                raise SystemExit("--nb-partitions 0 (auto) needs --input")
-            args.nb_partitions = auto_partitions(spark, inp)
         restrict = (
             [int(x) for x in args.restrict_to_list.split(",")]
             if args.restrict_to_list

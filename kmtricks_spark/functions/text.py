@@ -201,11 +201,13 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
-    n_docs = df.count()
+    # N stays lazy (broadcast single-row cross join) — an eager df.count()
+    # here would launch a full extra scan at plan-construction time
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(dfreq, "term").select(
+    idf = F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         id_col, "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))

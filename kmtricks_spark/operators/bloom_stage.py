@@ -176,26 +176,36 @@ def fpr_report(slices: DataFrame, cfg: KmConfig) -> DataFrame:
     )
 
 
-def bf_probe(slices: DataFrame, probes: DataFrame, cfg: KmConfig) -> DataFrame:
+def bf_probe(
+    slices: DataFrame, probes: DataFrame, cfg: KmConfig, hot_map: dict | None = None
+) -> DataFrame:
     """Distributed membership probe: (sample_id, kgram) rows against the
-    per-(partition, sample) slices. The probe hashes JVM-side with the
-    SAME part/window arithmetic as the build (no re-hash drift possible),
-    joins on (part_id, sample_id), and a vectorized bit check reads the
-    window bitmap. Returns (sample_id, kgram, member int).
+    per-(partition, sample) slices. The probe must route each kgram with
+    the SAME part assignment the build used — pass the build's hot_map
+    when the slices came from a sampled-repartition run, else the static
+    hash applies. Joins on (part_id, sample_id); a vectorized bit check
+    reads the window bitmap. Returns (sample_id, kgram, member int).
 
     Bloom guarantee under test: member == 1 for every key that was
     inserted (no false negatives) — which makes present-key probes
     exactly oracle-comparable; absent keys may report 1 at the modeled
     FPR."""
     from kmtricks_spark.functions.hashing import part_id_col
+    from kmtricks_spark.operators.partitioner import skew_aware_part
 
     w = cfg.window_bits
-    p = probes.select(
-        "sample_id",
-        "kgram",
-        part_id_col(F.col("kgram"), cfg.nb_partitions),
-        F.pmod(F.xxhash64("kgram"), F.lit(w)).alias("local_idx"),
-    )
+    base = probes.select("sample_id", "kgram")
+    if hot_map:
+        if any(len(ps) != 1 for ps in hot_map.values()):
+            raise ValueError(
+                "bf_probe needs a single-partition-per-key map (the count "
+                "path's allow_split=False form): a split key's bit could "
+                "be in any of its windows"
+            )
+        routed = skew_aware_part(base, "kgram", cfg.nb_partitions, hot_map=hot_map)
+    else:
+        routed = base.withColumn("part_id", part_id_col(F.col("kgram"), cfg.nb_partitions))
+    p = routed.withColumn("local_idx", F.pmod(F.xxhash64("kgram"), F.lit(w)))
     j = p.join(
         slices.select("part_id", "sample_id", "bitmap"), ["part_id", "sample_id"], "left"
     )

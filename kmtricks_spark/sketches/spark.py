@@ -111,10 +111,10 @@ def sketch_merge(
     the result byte-identical for hll/cms (register-max / cell-sum) and
     bound-equivalent for kll/t-digest (tested both ways)."""
     if salt_buckets and salt_buckets > 1:
-        salted = partials.withColumn(
-            "__salt", F.pmod(F.xxhash64("payload"), F.lit(salt_buckets)).cast("int")
-        )
-        partials = _merge_level(salted, group_cols + ["__salt"], kind)
+        from kmtricks_spark.operators.partitioner import with_salt
+
+        salted = with_salt(partials, salt_buckets, cols=["payload"])
+        partials = _merge_level(salted, group_cols + ["salt"], kind)
     return _merge_level(partials, group_cols, kind)
 
 

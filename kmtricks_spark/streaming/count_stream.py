@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -107,10 +108,13 @@ def stateful_streaming_hll(docs: DataFrame, cfg: KmConfig, p: int = 12) -> DataF
     """Distinct-shingle cardinality per sample with the HLL payload held
     as SPARK-MANAGED state (applyInPandasWithState), not a driver dict:
     state scales with executors and survives checkpoint/restart, the
-    pattern that holds at millions of groups. Emits one (sample_id,
-    est_distinct) row per group per micro-batch; estimates are monotone
-    non-decreasing, and the final payload equals the batch computation
-    exactly (register-max is order-independent).
+    pattern that holds at millions of groups. Emits (sample_id,
+    est_distinct, updates) per group per micro-batch; `updates` counts
+    state revisions so a consumer can select each group's LATEST row —
+    the registers only grow, but the ESTIMATE is not monotone (the
+    linear-counting -> raw-estimator switch can step down), so max(est)
+    is not "final". The final payload equals the batch computation
+    exactly (register-max is order/batching-independent).
     """
     import numpy as np
     import pandas as pd
@@ -121,21 +125,30 @@ def stateful_streaming_hll(docs: DataFrame, cfg: KmConfig, p: int = 12) -> DataF
         [
             StructField("sample_id", StringType()),
             StructField("est_distinct", DoubleType()),
+            StructField("updates", LongType()),
         ]
     )
-    state_schema = StructType([StructField("payload", StringType())])
+    state_schema = StructType(
+        [StructField("payload", BinaryType()), StructField("updates", LongType())]
+    )
 
     def update(key, pdfs, state):
         if state.exists:
-            st = hll.deserialize(bytes.fromhex(state.get[0]))
+            payload, n_upd = state.get
+            st = hll.deserialize(bytes(payload))
         else:
-            st = hll.create(p=p)
+            st, n_upd = hll.create(p=p), 0
         for pdf in pdfs:
             hs = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
             st = hll.add_hashes(st, hs)
-        state.update((hll.serialize(st).hex(),))
+        n_upd += 1
+        state.update((bytearray(hll.serialize(st)), n_upd))
         yield pd.DataFrame(
-            {"sample_id": [key[0]], "est_distinct": [float(hll.estimate(st))]}
+            {
+                "sample_id": [key[0]],
+                "est_distinct": [float(hll.estimate(st))],
+                "updates": [n_upd],
+            }
         )
 
     shingles = kgrams_sql(docs, cfg)

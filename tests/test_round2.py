@@ -295,8 +295,16 @@ def test_stateful_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
     cfg = KmConfig(k=8, hard_min=1)
     stream = stateful_streaming_hll(stream_docs(spark, src, max_files=1), cfg, p=12)
     run_available_now(stream, "hll_state_test", output_mode="update")
+    # LATEST row per group (estimate is not monotone across the
+    # linear-counting/raw estimator switch; `updates` orders revisions)
     got = spark.sql(
-        "select sample_id, max(est_distinct) as est from hll_state_test group by 1"
+        """
+        select sample_id, est as est from (
+          select sample_id, est_distinct as est,
+                 row_number() over (partition by sample_id order by updates desc) rn
+          from hll_state_test
+        ) where rn = 1
+        """
     ).collect()
     assert len(got) > 0
 
