@@ -77,7 +77,7 @@ def bf_slices(hcounts: DataFrame, cfg: KmConfig, min_count: int = 1) -> DataFram
         state = bloom.create(w)
         bloom.add_local_indices(state, local)
         return pd.DataFrame(
-            [(part, sample, len(np.unique(local)), state.tobytes())],
+            [(part, sample, bloom.popcount(state), state.tobytes())],
             columns=["part_id", "sample_id", "n_set", "bitmap"],
         )
 
@@ -130,7 +130,7 @@ def bft_slices(hcounts: DataFrame, samples: list[str], cfg: KmConfig, min_count:
         for s, idx in sel.groupby("sample_id", sort=False).indices.items():
             state = bloom.create(w)
             bloom.add_local_indices(state, local[idx])
-            rows.append((part, s, len(np.unique(local[idx])), state.tobytes()))
+            rows.append((part, s, bloom.popcount(state), state.tobytes()))
         rows.sort(key=lambda r: order.get(r[1], len(order)))
         return pd.DataFrame(rows, columns=["part_id", "sample_id", "n_set", "bitmap"])
 
@@ -189,7 +189,13 @@ def bf_probe(
     Bloom guarantee under test: member == 1 for every key that was
     inserted (no false negatives) — which makes present-key probes
     exactly oracle-comparable; absent keys may report 1 at the modeled
-    FPR."""
+    FPR.
+
+    Scale shape: probes and slices COGROUP on (part_id, sample_id) — each
+    task sees one window bitmap ONCE (np.frombuffer, zero-copy) and gathers
+    all of that group's probe bits with the vectorized contains_local
+    kernel. No per-row Python, and the bitmap is never replicated onto
+    probe rows the way a plain join would."""
     from kmtricks_spark.functions.hashing import part_id_col
     from kmtricks_spark.operators.partitioner import skew_aware_part
 
@@ -205,22 +211,43 @@ def bf_probe(
         routed = skew_aware_part(base, "kgram", cfg.nb_partitions, hot_map=hot_map)
     else:
         routed = base.withColumn("part_id", part_id_col(F.col("kgram"), cfg.nb_partitions))
-    p = routed.withColumn("local_idx", F.pmod(F.xxhash64("kgram"), F.lit(w)))
-    j = p.join(
-        slices.select("part_id", "sample_id", "bitmap"), ["part_id", "sample_id"], "left"
+    # the SAME hash expression the build side used (hash_counts), so a
+    # seed/formula change can never silently diverge build vs probe:
+    # local index = windowed hash minus the window anchor
+    p = routed.withColumn(
+        "local_idx",
+        windowed_hash_col(F.col("kgram"), w, F.col("part_id"))
+        - F.col("part_id").cast("long") * F.lit(w),
+    )
+    out_schema = StructType(
+        [
+            StructField("sample_id", StringType()),
+            probes.schema["kgram"],
+            StructField("member", IntegerType()),
+        ]
     )
 
-    @F.pandas_udf(IntegerType())
-    def bit_set(bm: pd.Series, local: pd.Series) -> pd.Series:
-        out = np.zeros(len(bm), dtype=np.int32)
-        for i, (b, ix) in enumerate(zip(bm, local)):
-            if b is not None:
-                ix = int(ix)
-                out[i] = (b[ix >> 3] >> (ix & 7)) & 1
-        return pd.Series(out)
+    def probe_group(key, probes_pdf, slices_pdf):
+        if len(probes_pdf) == 0:
+            return pd.DataFrame(columns=["sample_id", "kgram", "member"])
+        if len(slices_pdf) == 0:
+            member = np.zeros(len(probes_pdf), dtype=np.int32)
+        else:
+            bm = np.frombuffer(slices_pdf["bitmap"].iloc[0], dtype=np.uint8)
+            idx = probes_pdf["local_idx"].to_numpy(dtype=np.int64)
+            member = bloom.contains_local(bm, idx).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "sample_id": probes_pdf["sample_id"],
+                "kgram": probes_pdf["kgram"],
+                "member": member,
+            }
+        )
 
-    return j.select(
-        "sample_id", "kgram", bit_set(F.col("bitmap"), F.col("local_idx")).alias("member")
+    return (
+        p.groupBy("part_id", "sample_id")
+        .cogroup(slices.select("part_id", "sample_id", "bitmap").groupBy("part_id", "sample_id"))
+        .applyInPandas(probe_group, out_schema)
     )
 
 

@@ -4,8 +4,9 @@
   JVM higher-order functions (zip_with + aggregate), no Python in the
   scan. One pass over N vectors; fine whenever the query set is small.
 * LSH-bucketed ANN (random hyperplanes) — the scale path: 2^bits buckets,
-  candidates = same-bucket (plus multiprobe neighbors), verified exactly.
-  At 10^12 rows the bucket join replaces the full scan.
+  candidates = same-bucket, plus Hamming-1 multiprobe neighbors when
+  ann_pairs(multiprobe=q) is set, verified exactly. At 10^12 rows the
+  bucket join replaces the full scan.
 """
 
 from __future__ import annotations
@@ -113,17 +114,18 @@ def ivf_train(
     """IVF coarse quantizer: k-means on a driver-side sample HARD-CAPPED
     at ``max_train_rows`` regardless of corpus size (the standard IVF
     pattern — training quality needs ~100s of points per list, not the
-    corpus; assignment stays distributed). The cap is enforced with
-    count() -> fraction + limit so a 10^12-row table never reaches the
-    driver. Deterministic seeding."""
-    n_total = df.count()
+    corpus; assignment stays distributed). No count() pre-pass: a
+    sample(fraction)+limit plan short-circuits once the cap is hit
+    (CollectLimit consumes partitions incrementally), so a 10^12-row
+    table is neither fully scanned nor fully collected. Small corpora
+    (sample undershoots the cap) fall back to a plain limit, which
+    collects every row up to the cap — identical to the old count()-based
+    path for corpora <= max_train_rows. Deterministic seeding."""
     sel = df.select(vec_col)
-    if n_total > max_train_rows:
-        # oversample 2x so the post-sample limit() is almost never short,
-        # then hard-bound with limit — at most max_train_rows rows collect
-        frac = min(1.0, (2.0 * max_train_rows) / n_total)
-        sel = sel.sample(fraction=frac, seed=seed).limit(max_train_rows)
-    sample = np.array([list(r[0]) for r in sel.collect()], dtype=np.float64)
+    rows = sel.sample(fraction=0.1, seed=seed).limit(max_train_rows).collect()
+    if len(rows) < max_train_rows:
+        rows = sel.limit(max_train_rows).collect()
+    sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
     if sample.shape[0] < n_lists:
         raise ValueError(
             f"ivf_train: {sample.shape[0]} training rows < n_lists={n_lists}"
@@ -178,20 +180,49 @@ def ivf_search(
 
 
 def ann_pairs(
-    sigs: DataFrame, min_cosine: float = 0.8, vec_col: str = "embedding", id_col: str = "vec_id"
+    sigs: DataFrame,
+    min_cosine: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Candidate pairs from shared LSH bucket, verified by exact cosine.
 
-    Returns (a, b, cosine), a < b, cosine >= min_cosine. Shuffles on the
-    bucket key only; use more bits for bigger corpora (bucket occupancy
-    ~N/2^bits controls the join fan-out).
+    Returns (a, b, cosine), a < b, cosine >= min_cosine.
+
+    Scale shape: the bucket self-join carries IDS ONLY — candidate ids are
+    deduplicated first and the full vectors are re-joined once per side
+    for the exact verify (the minhash_lsh_pairs shape). A hot bucket thus
+    shuffles 16-byte rows, not f x dim doubles, and the dedup happens
+    before — not after — the expensive cosine.
+
+    multiprobe=q additionally probes, for each vector, the q buckets that
+    differ in exactly one of the first q sign bits (probe-side expansion
+    only — one side suffices for Hamming-1 neighbors). Near neighbors that
+    straddle a single hyperplane then still become candidates; candidate
+    volume grows ~(1+q)x. Use more bits for bigger corpora (bucket
+    occupancy ~N/2^bits controls the join fan-out).
     """
-    l = sigs.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    r = sigs.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    cand = l.join(r, "bucket").where(F.col("a") < F.col("b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        cand.select("a", "b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= min_cosine)
+    ids = sigs.select("bucket", F.col(id_col).alias("id"))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
+        )
+        l = ids.select(F.explode(probes).alias("bucket"), F.col("id").alias("a"))
+    else:
+        l = ids.select("bucket", F.col("id").alias("a"))
+    r = ids.select("bucket", F.col("id").alias("b"))
+    cand = (
+        l.join(r, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    va = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    j = cand.join(va, "a").join(vb, "b")
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return j.select("a", "b", F.round(cos, 6).alias("cosine")).where(
+        F.col("cosine") >= min_cosine
     )

@@ -45,6 +45,12 @@ def add_local_indices(state: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return state
 
 
+def popcount(state: np.ndarray) -> int:
+    """Number of set bits = n_set of a slice (cheaper than sort-unique of
+    the index list, and identical since duplicates set the same bit)."""
+    return int(np.unpackbits(state).sum())
+
+
 def contains_local(state: np.ndarray, idx: np.ndarray) -> np.ndarray:
     byte = (idx >> 3).astype(np.int64)
     bit = (np.uint8(1) << (idx & 7).astype(np.uint8)).astype(np.uint8)

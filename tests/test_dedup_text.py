@@ -143,3 +143,32 @@ def test_ann_pairs_find_exact_dups(spark):
     got = {(r.a, r.b) for r in ann_pairs(sigs, min_cosine=0.99).collect()}
     for i in range(5):
         assert (i, 100 + i) in got
+
+
+def test_ann_pairs_multiprobe_recovers_hamming1_neighbors(spark):
+    """multiprobe=q must surface near-dup pairs whose signatures differ in
+    exactly one of the first q sign bits, which plain same-bucket joins
+    miss — and must stay a superset of the multiprobe=0 result."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # near-dups: tiny perturbation => high cosine but may flip one plane
+    for i in range(30):
+        rows.append((200 + i, [float(x) for x in base[i] + 0.05 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bits = 10
+    sigs = hyperplane_signatures(df, dim=16, bits=bits).cache()
+    sig_map = {r.vec_id: r.bucket for r in sigs.collect()}
+    h1 = {
+        (i, 200 + i)
+        for i in range(30)
+        if bin(sig_map[i] ^ sig_map[200 + i]).count("1") == 1
+    }
+    assert h1, "fixture regression: no Hamming-1 near-dup pairs to test"
+    plain = {(r.a, r.b) for r in ann_pairs(sigs, min_cosine=0.9).collect()}
+    probed = {(r.a, r.b) for r in ann_pairs(sigs, min_cosine=0.9, multiprobe=bits).collect()}
+    assert plain <= probed
+    assert h1 <= probed          # every 1-bit straddler recovered
+    assert not (h1 & plain)      # ...and none of them was findable without
