@@ -129,6 +129,18 @@ def _q_filter_v(spark, sf_dir):
     return filter_matrix(matrix, key, out="v").select("kgram", "key_count")
 
 
+def _q_filter_m(spark, sf_dir):
+    """J9 m-mode: matrix row + appended key column (inner join), projected
+    to SQL-comparable scalars (sum + width) like matrix_combine."""
+    matrix, key = _split_counts(spark, sf_dir)
+    m = filter_matrix(matrix, key, out="m")
+    return m.select(
+        "kgram",
+        F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
+        F.size("counts").alias("width"),
+    )
+
+
 def _q_combine(spark, sf_dir):
     counts = count_kgrams(_docs(spark, sf_dir), CFG)
     mcfg = CFG.with_(soft_min=1, recurrence_min=1, share_min=0)
@@ -374,11 +386,28 @@ def _q_tdigest_quantiles(spark, sf_dir):
 
 
 def _q_bf_fpr(spark, sf_dir):
+    """FPR report, pinned to a DETERMINISTIC oracle: per (partition,
+    sample) cell, fpr must be positive (every cell is nonempty on this
+    corpus) and bounded by the analytic model at the sample's full
+    distinct-kgram load — n_set <= distinct kgrams of the sample, and
+    fpr is monotone in n_set, so fpr <= 1 - e^{-D_s/w}. Row count pins
+    |samples| x P; the bound pins the model wiring. (Exact fpr VALUES are
+    hash-placement-dependent — the model itself is unit-tested in
+    test_fpr_report_matches_model.)"""
     cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 20)
     counts = count_kgrams(_docs(spark, sf_dir), cfg)
     hc = hash_counts(counts, cfg)
     slices = bf_slices(hc, cfg)
-    return fpr_report(slices, cfg)
+    rep = fpr_report(slices, cfg)
+    d = counts.groupBy("sample_id").agg(F.count_distinct("kgram").alias("_d"))
+    bound = F.lit(1.0) - F.exp(-F.col("_d").cast("double") / F.lit(float(cfg.window_bits)))
+    return rep.join(d, "sample_id").select(
+        "part_id",
+        "sample_id",
+        ((F.col("fpr") > 0) & (F.col("fpr") <= bound + F.lit(1e-9)))
+        .cast("int")
+        .alias("fpr_ok"),
+    )
 
 
 def _q_bf_per_sample(spark, sf_dir):
@@ -530,6 +559,10 @@ def _q_cms_word_freq(spark, sf_dir):
 
 
 def _q_bfc_slices(spark, sf_dir):
+    """Counting-BF layout pin, hash-matched: every (partition, sample)
+    cell present, packed bytes = window_bits * bitw / 8 exactly (window
+    arithmetic hash.hpp:31-39, cell packing packc.hpp:16-43). Cell VALUES
+    are pinned by the packc golden tests."""
     from kmtricks_spark.operators.bloom_stage import bfc_slices
 
     cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 18)
@@ -539,13 +572,17 @@ def _q_bfc_slices(spark, sf_dir):
 
 
 def _q_bft_slices(spark, sf_dir):
+    """Transposed-build layout pin, hash-matched: same rows as bf_slices
+    (|samples| x P), window bytes exact. Row-for-row equality with the
+    non-transposed build (incl. n_set and bitmap bytes, which are hash-
+    dependent and so excluded here) is pinned in test_bloom_stage."""
     from kmtricks_spark.operators.bloom_stage import bft_slices
 
     cfg = CFG.with_(nb_partitions=8, bloom_bits=1 << 18)
     counts = count_kgrams(_docs(spark, sf_dir), cfg)
     samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
     s = bft_slices(hash_counts(counts, cfg), samples, cfg)
-    return s.select("part_id", "sample_id", "n_set", F.length("bitmap").alias("bitmap_bytes"))
+    return s.select("part_id", "sample_id", F.length("bitmap").alias("bitmap_bytes"))
 
 
 def _q_cosine_dup_pairs(spark, sf_dir):
@@ -565,10 +602,19 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_winnow_fp(spark, sf_dir):
+    """Winnowing selection, hash-matched end-to-end: the md5 hash variant
+    orders k-gram hashes lexicographically on hex strings, which DuckDB
+    reproduces verbatim — per-doc fingerprint COUNT and the minimum
+    selected fingerprint VALUE both pin the window-min selection, not
+    just the row shape. (The xxh64 production variant is the same plan
+    with a cheaper hash; its shared-substring detection property is
+    pinned separately in tests/.)"""
     from kmtricks_spark.functions.text import winnow_fingerprints
 
-    fps = winnow_fingerprints(_docs(spark, sf_dir), k=8, window=16)
-    return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=8, window=16, hash_fn="md5")
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp")
+    )
 
 
 def _dup_emb(spark, sf_dir):
@@ -606,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_stats": _q_merge_stats,
         "matrix_filter_k": _q_filter_k,
         "matrix_filter_v": _q_filter_v,
+        "matrix_filter_m": _q_filter_m,
         "matrix_combine": _q_combine,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -628,6 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_exact_dup_pairs": _q_ann_exact_dups,
         "events_sessions": _q_events_sessions,
         "curation_pipeline": _q_curation,
+        "bf_fpr_report": _q_bf_fpr,
+        "bfc_slices": _q_bfc_slices,
+        "bft_slices": _q_bft_slices,
+        "winnow_fingerprints": _q_winnow_fp,
         # rows-only (approximate / non-SQL-expressible; bounds in tests/)
         "hll_per_sample": _q_hll_per_sample,
         "hll_per_partition_sample": _q_hll_per_partition,
@@ -636,18 +687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": _q_kll_quantiles,
         "kll_rank": _q_kll_rank,
         "tdigest_quantiles": _q_tdigest_quantiles,
-        "bf_fpr_report": _q_bf_fpr,
         "bf_per_sample": _q_bf_per_sample,
         "bf_layout": _q_bf_layout,
         "bf_member_present": _q_bf_member_present,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
-        "winnow_fingerprints": _q_winnow_fp,
         "ivf_topk": _q_ivf_topk,
         "cms_word_freq": _q_cms_word_freq,
-        "bfc_slices": _q_bfc_slices,
-        "bft_slices": _q_bft_slices,
     }
 
 
@@ -713,6 +760,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.kgram, COALESCE(k.count, 0)::BIGINT AS key_count
         FROM (SELECT DISTINCT kgram FROM c WHERE sample_id <> 'src0') m
         LEFT JOIN (SELECT kgram, count FROM c WHERE sample_id = 'src0') k USING (kgram)
+        """,
+        "matrix_filter_m": _SH
+        + """
+        , m AS (
+          SELECT kgram, sum(count)::BIGINT AS oth
+          FROM c WHERE sample_id <> 'src0' GROUP BY 1
+        ),
+        k AS (SELECT kgram, count AS kc FROM c WHERE sample_id = 'src0')
+        SELECT kgram, (m.oth + k.kc)::BIGINT AS total, 20 AS width
+        FROM m JOIN k USING (kgram)
         """,
         "matrix_combine": _SH
         + """
@@ -961,6 +1018,47 @@ def oracle_sql() -> dict[str, str]:
         "bf_layout": """
         SELECT DISTINCT source AS sample_id, 131072 AS filter_bytes
         FROM documents
+        """,
+        # every (partition, sample) cell is nonempty on this corpus
+        # (~1.7k kgrams/sample over 8 partitions), so the report has
+        # exactly |samples| x P rows, each within the analytic bound
+        "bf_fpr_report": """
+        SELECT p::INT AS part_id, sample_id, 1 AS fpr_ok
+        FROM (SELECT DISTINCT source AS sample_id FROM documents),
+             (SELECT unnest(generate_series(0, 7)) AS p)
+        """,
+        # bfc window: w = round_up(ceil(2^18/8), 64) = 32768 bits, bitw=2
+        # -> 32768*2/8 = 8192 packed bytes per (partition, sample) cell
+        "bfc_slices": """
+        SELECT p::INT AS part_id, sample_id, 8192 AS packed_bytes
+        FROM (SELECT DISTINCT source AS sample_id FROM documents),
+             (SELECT unnest(generate_series(0, 7)) AS p)
+        """,
+        # bft rows == bf rows (|samples| x P), window bytes = 32768/8
+        "bft_slices": """
+        SELECT p::INT AS part_id, sample_id, 4096 AS bitmap_bytes
+        FROM (SELECT DISTINCT source AS sample_id FROM documents),
+             (SELECT unnest(generate_series(0, 7)) AS p)
+        """,
+        # winnowing with the md5 hash variant: k-gram hash = md5 hex
+        # string, window-min = lexicographic min over 16 consecutive
+        # hashes, fingerprints = distinct mins per doc — the full MOSS
+        # selection reproduced in SQL, count AND min value compared
+        "winnow_fingerprints": """
+        WITH h AS (
+          SELECT doc_id, i, length(text) - 7 AS n, md5(substring(text, i, 8)) AS h
+          FROM documents, LATERAL unnest(generate_series(1, length(text) - 7)) t(i)
+          WHERE length(text) >= 8
+        ),
+        m AS (
+          SELECT doc_id, i, n,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+          FROM h
+        ),
+        sel AS (SELECT DISTINCT doc_id, fp FROM m WHERE i - 1 <= greatest(n - 16, 0))
+        SELECT doc_id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp
+        FROM sel GROUP BY 1
         """,
         # 5 smallest counted kgrams per sample, member=1 for all of them:
         # the Bloom no-false-negative contract through the full pipeline

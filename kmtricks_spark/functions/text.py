@@ -110,6 +110,7 @@ def winnow_fingerprints(
     window: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS):
     rolling k-gram hashes, keep the minimum of each sliding window of
@@ -118,11 +119,20 @@ def winnow_fingerprints(
     Two documents sharing enough selected fingerprints share content; the
     fp column joins like an inverted index (same shape as the LSH band
     join). Pure Column expressions: transform + slice + array_min.
+
+    hash_fn='xxh64' (default): 64-bit int fps, the cheap production path.
+    hash_fn='md5': lowercase-hex string fps ordered lexicographically —
+    same selection algorithm, but computable verbatim in any SQL engine
+    with md5(), which makes the whole winnowing pipeline (not just row
+    counts) oracle-checkable against DuckDB.
     """
     from pyspark.sql import Window
 
+    if hash_fn not in ("xxh64", "md5"):
+        raise ValueError(f"hash_fn must be xxh64|md5, got {hash_fn!r}")
     c = F.col(text_col)
     n_kgrams = F.length(c) - (k - 1)
+    gram_hash = (lambda g: F.xxhash64(g)) if hash_fn == "xxh64" else (lambda g: F.md5(g))
     # one row per k-gram hash (hash evaluated exactly once — an inline
     # transform+slice formulation duplicates the hash array into every
     # window lambda, an O(n*window) expression blowup; measured 20x slower)
@@ -132,7 +142,7 @@ def winnow_fingerprints(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), n_kgrams),
-                lambda i: F.xxhash64(F.substring(c, i, k)),
+                lambda i: gram_hash(F.substring(c, i, k)),
             )
         ).alias("pos", "h"),
     )
