@@ -103,6 +103,28 @@ def _q_thresholds(spark, sf_dir):
     return thresholds_from_histogram(hist, 0.9)
 
 
+def _q_histogram_oob(spark, sf_dir):
+    """Bounded-histogram oob counters (KHist [lower,upper] parity,
+    histogram.hpp:43-70): uniques/totals falling below lower=3 or above
+    upper=10, per sample."""
+    from kmtricks_spark.operators.count import histogram_oob
+
+    counts = count_kgrams(_docs(spark, sf_dir), CFG)
+    return histogram_oob(counts, 3, 10)
+
+
+def _q_thresholds_bounded(spark, sf_dir):
+    """compute_merge_thresholds over a BOUNDED histogram: cumulative sum
+    walks only [3,10] bins while the target fraction applies to all
+    uniques including oob (histogram.hpp:225-232)."""
+    from kmtricks_spark.operators.count import histogram_oob
+
+    counts = count_kgrams(_docs(spark, sf_dir), CFG)
+    hist = histogram(counts, 3, 10)
+    oob = histogram_oob(counts, 3, 10)
+    return thresholds_from_histogram(hist, 0.3, oob=oob)
+
+
 def _q_merge_stats(spark, sf_dir):
     counts = count_kgrams(_docs(spark, sf_dir), CFG)
     return merge_stats(counts, MERGE_CFG)
@@ -648,7 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_kgrams": _q_count_kgrams,
         "merged_matrix_long": _q_merged_long,
         "histogram": _q_histogram,
+        "histogram_oob": _q_histogram_oob,
         "soft_min_thresholds": _q_thresholds,
+        "soft_min_thresholds_bounded": _q_thresholds_bounded,
         "merge_stats": _q_merge_stats,
         "matrix_filter_k": _q_filter_k,
         "matrix_filter_v": _q_filter_v,
@@ -724,6 +748,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT sample_id, count, count(*)::BIGINT AS n_unique,
                (count(*) * count)::BIGINT AS n_total
         FROM c GROUP BY 1, 2
+        """,
+        "histogram_oob": _SH
+        + """
+        SELECT sample_id,
+               count(*) FILTER (WHERE count < 3)::BIGINT AS oob_lu,
+               COALESCE(sum(count) FILTER (WHERE count < 3), 0)::BIGINT AS oob_ln,
+               count(*) FILTER (WHERE count > 10)::BIGINT AS oob_uu,
+               COALESCE(sum(count) FILTER (WHERE count > 10), 0)::BIGINT AS oob_un
+        FROM c GROUP BY 1
+        """,
+        "soft_min_thresholds_bounded": _SH
+        + """
+        , h AS (
+          SELECT sample_id, count AS cnt, count(*)::BIGINT AS n
+          FROM c WHERE count BETWEEN 3 AND 10 GROUP BY 1, 2
+        ),
+        o AS (
+          SELECT sample_id, count(*) FILTER (WHERE count < 3 OR count > 10) AS oob_u
+          FROM c GROUP BY 1
+        ),
+        r AS (
+          SELECT h.sample_id, cnt,
+                 sum(n) OVER (PARTITION BY h.sample_id ORDER BY cnt) AS cum,
+                 sum(n) OVER (PARTITION BY h.sample_id) + COALESCE(o.oob_u, 0) AS tot
+          FROM h LEFT JOIN o ON h.sample_id = o.sample_id
+        )
+        SELECT sample_id, min(cnt)::BIGINT AS threshold
+        FROM r WHERE cum >= 0.3 * tot GROUP BY 1
         """,
         "soft_min_thresholds": _SH
         + """

@@ -28,6 +28,8 @@ def _cfg_from(args) -> KmConfig:
         soft_min=args.soft_min,
         recurrence_min=args.recurrence_min,
         share_min=args.share_min,
+        hist_lower=args.hist_lower,
+        hist_upper=args.hist_upper,
         bloom_bits=args.bloom_size,
         bfc_width=args.bitw,
         bloom_mode=args.bloom_mode,
@@ -46,6 +48,10 @@ def _add_common(p):
     p.add_argument("--soft-min-quantile", type=float, default=None)
     p.add_argument("--recurrence-min", type=int, default=1)
     p.add_argument("--share-min", type=int, default=0)
+    p.add_argument("--hist-lower", type=int, default=1,
+                   help="histogram lower bound (KHist, histogram.hpp:44)")
+    p.add_argument("--hist-upper", type=int, default=0,
+                   help="histogram upper bound (ref default 255); 0 = unbounded")
     p.add_argument("--bloom-size", type=int, default=10_000_000)
     p.add_argument("--bitw", type=int, default=2)
     p.add_argument("--bloom-mode", choices=["bf", "bft", "bfc"], default="bf",

@@ -39,6 +39,8 @@ class KmConfig:
     recurrence_min: int = 1       # keep kgram if solid in >= r_min samples
     share_min: int = 0            # rescue non-solid count if solid in >= share_min samples (0=off)
     max_count: int = 2**31 - 1    # count saturation (ref: MAX_C, count_processor.hpp:66)
+    hist_lower: int = 1           # KHist lower bound (histogram.hpp:44, ref default 1)
+    hist_upper: int = 0           # KHist upper bound (ref default 255); 0 = unbounded
     bloom_bits: int = 10_000_000  # --bloom-size default (cli.cpp:334-338)
     bfc_width: int = 2            # --bitw: packed-count BF cell width
     bloom_mode: str = "bf"        # bf | bft | bfc (--mode hash:{bf,bft,bfc}, cli.cpp:150-199)

@@ -94,25 +94,65 @@ def count_kgrams(df: DataFrame, cfg: KmConfig, hot_map: dict | None = None) -> D
     return counts.select("part_id", "sample_id", "kgram", "count")
 
 
-def histogram(counts: DataFrame) -> DataFrame:
+def histogram(
+    counts: DataFrame, lower: int | None = None, upper: int | None = None
+) -> DataFrame:
     """Per-sample count-of-counts (histogram.hpp:34-207).
 
     Returns (sample_id, count, n_unique, n_total): n_unique distinct
     kgrams observed `count` times; n_total = count * n_unique.
+
+    With bounds (the reference KHist carries [lower, upper] and its
+    vectors span only that range — histogram.hpp:43-70; the pipeline
+    default is [1, 255], task_scheduler.hpp:103), only in-bound count
+    values appear; pair with histogram_oob for the four out-of-bound
+    counters. The bounded form is what keeps a threshold pass
+    O(upper - lower) per sample on heavy-tailed count distributions —
+    unbounded, a 10^12-doc corpus has millions of distinct count values.
     """
+    if lower is not None:
+        counts = counts.where(F.col("count") >= lower)
+    if upper is not None:
+        counts = counts.where(F.col("count") <= upper)
     return counts.groupBy("sample_id", "count").agg(
         F.count(F.lit(1)).alias("n_unique"),
         (F.count(F.lit(1)) * F.col("count")).alias("n_total"),
     )
 
 
-def thresholds_from_histogram(hist: DataFrame, fraction: float) -> DataFrame:
+def histogram_oob(counts: DataFrame, lower: int, upper: int) -> DataFrame:
+    """Out-of-bound histogram counters, one row per sample — exactly the
+    reference's oob_{lu,ln,uu,un} (histogram.hpp:55-70: below-lower /
+    above-upper uniques and total occurrences).
+
+    Returns (sample_id, oob_lu, oob_ln, oob_uu, oob_un)."""
+    below = F.col("count") < lower
+    above = F.col("count") > upper
+    zero = F.lit(0).cast("long")
+    return counts.groupBy("sample_id").agg(
+        F.sum(below.cast("long")).alias("oob_lu"),
+        F.sum(F.when(below, F.col("count")).otherwise(zero)).alias("oob_ln"),
+        F.sum(above.cast("long")).alias("oob_uu"),
+        F.sum(F.when(above, F.col("count")).otherwise(zero)).alias("oob_un"),
+    )
+
+
+def thresholds_from_histogram(
+    hist: DataFrame, fraction: float, oob: DataFrame | None = None
+) -> DataFrame:
     """Float soft-min path: per-sample threshold t such that kgrams with
     count <= t cover `fraction` of that sample's unique kgrams
     (histogram.hpp:218-244 compute_merge_thresholds).
 
     Returns (sample_id, threshold): smallest count value whose cumulative
     unique share is >= fraction.
+
+    When `hist` is bounded, pass its histogram_oob frame: the reference
+    computes the target n = p * unique() over ALL uniques (oob included,
+    histogram.hpp:225-226) while the cumulative sum walks only the
+    in-bound vector — so oob uniques raise the bar without ever being
+    stepped over. A sample whose in-bound mass never reaches the bar
+    yields no row (same as the reference's loop running off the vector).
     """
     w_cum = (
         "sum(n_unique) over (partition by sample_id order by count "
@@ -124,5 +164,13 @@ def thresholds_from_histogram(hist: DataFrame, fraction: float) -> DataFrame:
         "count",
         F.expr(w_cum).alias("cum_unique"),
         F.expr(w_tot).alias("tot_unique"),
-    ).where(F.col("cum_unique") >= F.lit(fraction) * F.col("tot_unique"))
+    )
+    if oob is not None:
+        extra = oob.select(
+            "sample_id", (F.col("oob_lu") + F.col("oob_uu")).alias("_oob_u")
+        )
+        ranked = ranked.join(F.broadcast(extra), "sample_id", "left").withColumn(
+            "tot_unique", F.col("tot_unique") + F.coalesce(F.col("_oob_u"), F.lit(0))
+        )
+    ranked = ranked.where(F.col("cum_unique") >= F.lit(fraction) * F.col("tot_unique"))
     return ranked.groupBy("sample_id").agg(F.min("count").alias("threshold"))

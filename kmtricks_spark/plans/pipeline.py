@@ -109,7 +109,18 @@ class Pipeline:
     def stage_histogram(self):
         if not self._done("histogram"):
             counts = read_stage(self.spark, self.run_dir, "counts")
-            write_stage(histogram(counts), self.run_dir, "histogram")
+            if self.cfg.hist_upper:
+                from kmtricks_spark.operators.count import histogram_oob
+
+                h = histogram(counts, self.cfg.hist_lower, self.cfg.hist_upper)
+                write_stage(
+                    histogram_oob(counts, self.cfg.hist_lower, self.cfg.hist_upper),
+                    self.run_dir,
+                    "histogram_oob",
+                )
+            else:
+                h = histogram(counts)
+            write_stage(h, self.run_dir, "histogram")
             self._finish(
                 "histogram", read_stage(self.spark, self.run_dir, "histogram"), part_col=None
             )
@@ -118,7 +129,10 @@ class Pipeline:
         cfg = self.cfg
         if self.soft_min_quantile is not None:
             hist = read_stage(self.spark, self.run_dir, "histogram")
-            th = thresholds_from_histogram(hist, self.soft_min_quantile)
+            oob = None
+            if cfg.hist_upper:  # bounded histogram: oob uniques raise the bar
+                oob = read_stage(self.spark, self.run_dir, "histogram_oob")
+            th = thresholds_from_histogram(hist, self.soft_min_quantile, oob=oob)
             overrides = {r.sample_id: int(r.threshold) for r in th.collect()}
             cfg = cfg.with_(soft_min_by_sample=overrides)
         return cfg

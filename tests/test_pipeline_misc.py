@@ -84,6 +84,69 @@ def test_pipeline_quantile_soft_min(spark, sf_dir, tmp_path):
     assert m.count() == manual.select("kgram").distinct().count()
 
 
+def test_bounded_histogram_oob_counters(spark, sf_dir):
+    """KHist [lower,upper] parity (histogram.hpp:43-70): bounded bins +
+    oob counters partition the unbounded histogram exactly — uniques and
+    totals are conserved across {below, in-bound, above}."""
+    from kmtricks_spark.operators.count import count_kgrams, histogram, histogram_oob
+
+    counts = count_kgrams(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), CFG
+    ).cache()
+    full = histogram(counts)
+    lo, hi = 3, 6
+    bounded = histogram(counts, lo, hi)
+    oob = histogram_oob(counts, lo, hi)
+    f = {r.sample_id: (r.u, r.t) for r in full.groupBy("sample_id")
+         .agg(F.sum("n_unique").alias("u"), F.sum("n_total").alias("t")).collect()}
+    b = {r.sample_id: (r.u, r.t) for r in bounded.groupBy("sample_id")
+         .agg(F.sum("n_unique").alias("u"), F.sum("n_total").alias("t")).collect()}
+    o = {r.sample_id: r.asDict() for r in oob.collect()}
+    assert set(f) == set(o)
+    for s in f:
+        bu, bt = b.get(s, (0, 0))
+        assert f[s][0] == bu + o[s]["oob_lu"] + o[s]["oob_uu"]
+        assert f[s][1] == bt + o[s]["oob_ln"] + o[s]["oob_un"]
+    # in-bound rows stay within bounds
+    assert bounded.where((F.col("count") < lo) | (F.col("count") > hi)).count() == 0
+    counts.unpersist()
+
+
+def test_pipeline_bounded_histogram_and_thresholds(spark, sf_dir, tmp_path):
+    """hist_upper threads through the pipeline: histogram table bounded,
+    histogram_oob written, and the quantile soft-min pass uses the oob
+    uniques in its target (reference compute_merge_thresholds semantics:
+    bar over ALL uniques, walk over in-bound bins only)."""
+    from kmtricks_spark.operators.count import (
+        count_kgrams,
+        histogram,
+        histogram_oob,
+        thresholds_from_histogram,
+    )
+
+    rd = str(tmp_path / "rb")
+    # lower=3 puts the heavy count-2 bin out of bounds: its uniques raise
+    # the target bar but are never stepped over, so bounded != unbounded
+    cfg = CFG.with_(hist_lower=3, hist_upper=6, soft_min=1)
+    Pipeline(
+        spark, cfg, rd, os.path.join(sf_dir, "documents.parquet"),
+        until="matrix", soft_min_quantile=0.3,
+    ).run()
+    h = spark.read.parquet(os.path.join(rd, "histogram"))
+    assert h.agg(F.max("count")).first()[0] <= 6
+    assert os.path.isdir(os.path.join(rd, "histogram_oob"))
+    counts = count_kgrams(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), cfg)
+    expect = thresholds_from_histogram(
+        histogram(counts, 3, 6), 0.3, oob=histogram_oob(counts, 3, 6)
+    )
+    got = {(r.sample_id, r.threshold) for r in expect.collect()}
+    assert got  # thresholds exist at this fraction
+    # and differ from the unbounded computation (the oob bar matters)
+    unb = {(r.sample_id, r.threshold)
+           for r in thresholds_from_histogram(histogram(counts), 0.3).collect()}
+    assert got != unb
+
+
 def test_param_change_invalidates(spark, sf_dir, run_dir):
     inp = os.path.join(sf_dir, "documents.parquet")
     status = Pipeline(spark, CFG.with_(soft_min=3), run_dir, inp, until="counts").run()
