@@ -62,6 +62,12 @@ def _add_common(p):
                    help="reuse a saved partitioner.json (compat-checked)")
     p.add_argument("--restrict-to-list", type=str, default=None,
                    help="comma-separated partition ids")
+    p.add_argument("--restrict-to", type=float, default=None,
+                   help="fraction [0.05,1.0] of partitions to process "
+                        "(cli.cpp:301-305): the first ceil(f*P) ids")
+    p.add_argument("--sample-id", type=str, default=None,
+                   help="comma-separated sample ids: recompute only these "
+                        "samples' cells (count --id analogue, cmd.hpp:164-211)")
     p.add_argument("--cores", type=int, default=None)
 
 
@@ -106,6 +112,9 @@ def main(argv=None):
     comb.add_argument("--run-dir", required=True)
     comb.add_argument("--other", required=True, help="second run dir")
     comb.add_argument("--output", required=True)
+    comb.add_argument("--allow-missing-lineage", action="store_true",
+                      help="combine even when a run has no matrix lineage "
+                           "(skips the reference's compatibility refusal)")
     comb.add_argument("--cores", type=int, default=None)
 
     filt = sub.add_parser("filter", help="new sample vs existing matrix (J9)")
@@ -155,6 +164,16 @@ def main(argv=None):
             if args.restrict_to_list
             else None
         )
+        if args.restrict_to is not None:
+            if args.restrict_to_list:
+                raise SystemExit("--restrict-to and --restrict-to-list are exclusive")
+            f = args.restrict_to
+            if not (0.05 <= f <= 1.0):  # the reference's accepted range
+                raise SystemExit("--restrict-to must be in [0.05, 1.0]")
+            import math
+
+            restrict = list(range(math.ceil(f * args.nb_partitions)))
+        samples = args.sample_id.split(",") if args.sample_id else None
         pl = Pipeline(
             spark,
             _cfg_from(args),
@@ -164,6 +183,7 @@ def main(argv=None):
             restrict_to=restrict,
             soft_min_quantile=args.soft_min_quantile,
             repart_from=args.repart_from,
+            restrict_samples=samples,
         )
         status = pl.run()
         print(json.dumps(status))
@@ -222,6 +242,16 @@ def _post_op(spark, args) -> int:
         if la and lb:
             check_repart_compat(
                 la["params"], lb["params"], dir_a=args.run_dir, dir_b=args.other
+            )
+        elif not args.allow_missing_lineage:
+            # the reference refuses runs it cannot validate (task.hpp:
+            # 136-147); silently skipping the check would let k/m/P
+            # mismatches merge
+            missing = args.run_dir if la is None else args.other
+            raise SystemExit(
+                f"combine: no matrix lineage in {missing} — cannot verify "
+                "partitioning compatibility (pass --allow-missing-lineage "
+                "to override)"
             )
         a = spark.read.parquet(f"{args.run_dir}/matrix")
         b = spark.read.parquet(f"{args.other}/matrix")

@@ -27,9 +27,11 @@ def check_repart_compat(
     its hot map, so mixing it with a static run (or a differently-sampled
     one) silently violates the one-partition-per-kgram invariant for
     downstream bloom/restrict consumers. Two sampled runs are compatible
-    only when they demonstrably share one map: equal --repart-from paths,
-    or one side's repart_from resolving to the other run's own
-    partitioner.json."""
+    only when they demonstrably share one map: equal --repart-from
+    realpaths, one side's repart_from resolving to the other run's own
+    partitioner.json, or byte-identical partitioner.json contents (runs
+    that each copied the same source map)."""
+    import hashlib
     import os
 
     for key in ("k", "m", "nb_partitions", "repartition_type"):
@@ -39,15 +41,29 @@ def check_repart_compat(
             )
     if str(params_a.get("repartition_type")) == "sampled":
         def own_map(d):
-            return os.path.abspath(os.path.join(d, "partitioner.json")) if d else None
+            return os.path.realpath(os.path.join(d, "partitioner.json")) if d else None
+
+        def content_hash(p):
+            try:
+                with open(p, "rb") as f:
+                    return hashlib.md5(f.read()).hexdigest()
+            except (OSError, TypeError):
+                return None
 
         ra, rb = params_a.get("repart_from"), params_b.get("repart_from")
-        ra = os.path.abspath(str(ra)) if ra and str(ra) != "None" else None
-        rb = os.path.abspath(str(rb)) if rb and str(rb) != "None" else None
+        ra = os.path.realpath(str(ra)) if ra and str(ra) != "None" else None
+        rb = os.path.realpath(str(rb)) if rb and str(rb) != "None" else None
+        # effective map of each run: its own copy if present, else its
+        # repart_from source (repart-from runs copy the map into their run
+        # dir now, but older runs may predate that)
+        ma = own_map(dir_a) if dir_a and os.path.exists(own_map(dir_a)) else ra
+        mb = own_map(dir_b) if dir_b and os.path.exists(own_map(dir_b)) else rb
+        ha, hb = content_hash(ma), content_hash(mb)
         shared = (
             (ra is not None and ra == rb)
             or (rb is not None and rb == own_map(dir_a))
             or (ra is not None and ra == own_map(dir_b))
+            or (ha is not None and ha == hb)
         )
         if not shared:
             raise ValueError(

@@ -40,17 +40,31 @@ class Pipeline:
         restrict_to: list[int] | None = None,
         soft_min_quantile: float | None = None,
         repart_from: str | None = None,
+        restrict_samples: list[str] | None = None,
     ):
         if until is not None and until not in STAGES:
             raise ValueError(f"until must be one of {STAGES}")
+        if repart_from:
+            # realpath at construction: a relative path stored in lineage
+            # would resolve against a DIFFERENT cwd at combine time and
+            # defeat the shared-map identity check
+            repart_from = os.path.realpath(repart_from)
+            # placement provenance: part_ids of this run follow the loaded
+            # sampled map, so the run IS 'sampled' regardless of the CLI
+            # default — recording 'static' would let check_repart_compat
+            # wrongly combine it with a genuinely static run (and refuse
+            # the very run whose map it reuses)
+            cfg = cfg.with_(repartition_type="sampled")
         self.spark, self.cfg, self.run_dir = spark, cfg, run_dir
         self.input_path = input_path
         self.until = until
         self.restrict_to = restrict_to
+        self.restrict_samples = restrict_samples
         self.soft_min_quantile = soft_min_quantile
         self.repart_from = repart_from
         self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to,
-                        "repart_from": repart_from}
+                        "repart_from": repart_from,
+                        "restrict_samples": restrict_samples}
 
     # ---- helpers
 
@@ -72,6 +86,11 @@ class Pipeline:
         df = self.spark.read.parquet(self.input_path)
         if "source" not in df.columns and "url" in df.columns:
             df = df.withColumn("source", F.col("url"))
+        if self.restrict_samples is not None:
+            # per-sample module granularity (`count --id D1`, cmd.hpp:
+            # 164-211): recompute one sample's cells idempotently; the
+            # filter prunes at the scan, other samples' lineage untouched
+            df = df.where(F.col(self.cfg.sample_col).isin(self.restrict_samples))
         return df
 
     # ---- stages
@@ -90,7 +109,15 @@ class Pipeline:
         cfg = self.cfg
         own_path = os.path.join(self.run_dir, "partitioner.json")
         if self.repart_from:
-            return load_partitioner(self.repart_from, cfg.k, cfg.m, cfg.nb_partitions)
+            hot_map = load_partitioner(self.repart_from, cfg.k, cfg.m, cfg.nb_partitions)
+            if os.path.realpath(own_path) != self.repart_from:
+                # keep a copy in the run dir (the reference RepartTask's
+                # fs::copy of repartition_gatb) so this run's own
+                # partitioner.json resolves in later compat checks even if
+                # the source run is deleted
+                os.makedirs(self.run_dir, exist_ok=True)
+                save_partitioner(own_path, hot_map, cfg.k, cfg.m, cfg.nb_partitions)
+            return hot_map
         if cfg.repartition_type != "sampled":
             return None
         if os.path.exists(own_path):  # resume: reuse this run's own map

@@ -1,0 +1,157 @@
+"""Round-3 additions: repart-from placement provenance, combine lineage
+refusal, --restrict-to fraction, per-sample module granularity."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmtricks_spark import KmConfig
+from kmtricks_spark.operators.matrix_ops import check_repart_compat
+from kmtricks_spark.plans.lineage import read_lineage
+from kmtricks_spark.plans.pipeline import Pipeline
+
+CFG = KmConfig(k=8, hard_min=2, soft_min=1, nb_partitions=8, bloom_bits=1 << 18)
+
+
+def _cli(args, timeout=300, expect_fail=False):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd="/root/repo",
+    )
+    if expect_fail:
+        assert r.returncode != 0, r.stdout[-500:]
+        return r.stderr
+    assert r.returncode == 0, r.stderr[-2000:]
+    return [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+
+
+def test_repart_from_records_sampled_provenance(spark, sf_dir, tmp_path):
+    """ADVICE r2: a --repart-from run follows the loaded sampled map, so
+    its lineage must say 'sampled' (not the CLI-default 'static'), it must
+    keep its own copy of the map, and compat must (a) accept it against
+    the origin run, (b) refuse it against a genuinely static run."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd_src = str(tmp_path / "src")
+    Pipeline(spark, CFG.with_(repartition_type="sampled"), rd_src, inp,
+             until="matrix").run()
+    pfile = os.path.join(rd_src, "partitioner.json")
+
+    rd_reuse = str(tmp_path / "reuse")
+    # cfg says 'static' (the CLI default) — repart_from must override
+    Pipeline(spark, CFG, rd_reuse, inp, until="matrix", repart_from=pfile).run()
+    lr = read_lineage(rd_reuse, "matrix")["params"]
+    assert lr["repartition_type"] == "sampled"
+    assert os.path.exists(os.path.join(rd_reuse, "partitioner.json"))
+
+    ls = read_lineage(rd_src, "matrix")["params"]
+    # accepted against the origin (shared map)
+    check_repart_compat(ls, lr, dir_a=rd_src, dir_b=rd_reuse)
+    # refused against a genuinely static run
+    rd_static = str(tmp_path / "static")
+    Pipeline(spark, CFG, rd_static, inp, until="matrix").run()
+    lst = read_lineage(rd_static, "matrix")["params"]
+    with pytest.raises(ValueError, match="repartition_type"):
+        check_repart_compat(lst, lr, dir_a=rd_static, dir_b=rd_reuse)
+
+
+def test_repart_compat_content_hash_and_relative_paths(tmp_path):
+    """Two runs that copied the SAME map are compatible even when their
+    repart_from strings differ; relative paths are realpath-normalized."""
+    import shutil
+
+    src = tmp_path / "srcmap" / "partitioner.json"
+    src.parent.mkdir()
+    src.write_text(json.dumps({"k": 8, "m": 4, "nb_partitions": 8,
+                               "key_encoding": "utf8", "hot_map": {"aa": [0]}}))
+    da, db = tmp_path / "ra", tmp_path / "rb"
+    da.mkdir(), db.mkdir()
+    shutil.copy(src, da / "partitioner.json")
+    shutil.copy(src, db / "partitioner.json")
+    pa = {"k": 8, "m": 4, "nb_partitions": 8, "repartition_type": "sampled",
+          "repart_from": str(da / "x" / ".." / "partitioner.json")}
+    pb = {"k": 8, "m": 4, "nb_partitions": 8, "repartition_type": "sampled",
+          "repart_from": str(src)}
+    check_repart_compat(pa, pb, dir_a=str(da), dir_b=str(db))  # no raise
+    # different map contents -> refused
+    (db / "partitioner.json").write_text(json.dumps(
+        {"k": 8, "m": 4, "nb_partitions": 8, "key_encoding": "utf8",
+         "hot_map": {"bb": [1]}}))
+    with pytest.raises(ValueError, match="hot map"):
+        check_repart_compat(
+            {**pa, "repart_from": None}, {**pb, "repart_from": None},
+            dir_a=str(da), dir_b=str(db),
+        )
+
+
+def test_restrict_to_fraction_matches_list(tmp_path, sf_dir):
+    """--restrict-to f == --restrict-to-list of the first ceil(f*P) ids
+    (cli.cpp:301-305)."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    common = ["--kmer-size", "8", "--nb-partitions", "4", "--cores", "8"]
+    rd_f, rd_l = str(tmp_path / "frac"), str(tmp_path / "list")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_f, "--until", "matrix",
+          "--restrict-to", "0.5", *common])
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_l, "--until", "matrix",
+          "--restrict-to-list", "0,1", *common])
+    from kmtricks_spark import get_spark
+
+    s = get_spark(cores=8)
+    a = s.read.parquet(os.path.join(rd_f, "matrix"))
+    b = s.read.parquet(os.path.join(rd_l, "matrix"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    parts = {r.part_id for r in a.select("part_id").distinct().collect()}
+    assert parts <= {0, 1}
+    # out-of-range fraction refused
+    _cli(["pipeline", "--input", inp, "--run-dir", str(tmp_path / "bad"),
+          "--restrict-to", "0.01", *common], expect_fail=True)
+
+
+def test_sample_id_module_granularity(spark, sf_dir, tmp_path):
+    """`count --id D1` analogue (cmd.hpp:164-211): a --sample-id run
+    recomputes exactly that sample's cells, byte-equal to the full run's
+    slice, with its own lineage (idempotent kill-rerun of one cell)."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd_full, rd_one = str(tmp_path / "full"), str(tmp_path / "one")
+    Pipeline(spark, CFG, rd_full, inp, until="counts").run()
+    full = spark.read.parquet(os.path.join(rd_full, "counts"))
+    sample = full.select("sample_id").orderBy("sample_id").first()[0]
+
+    pl = Pipeline(spark, CFG, rd_one, inp, until="counts",
+                  restrict_samples=[sample])
+    pl.run()
+    one = spark.read.parquet(os.path.join(rd_one, "counts"))
+    expect = full.where(F.col("sample_id") == sample)
+    assert one.exceptAll(expect).count() == 0 and expect.exceptAll(one).count() == 0
+    # rerun skips (lineage keyed on the restriction)
+    status = Pipeline(spark, CFG, rd_one, inp, until="counts",
+                      restrict_samples=[sample]).run()
+    assert status["counts"] == "skipped"
+    # kill-rerun: wipe lineage -> only this cell recomputes, identical out
+    before = read_lineage(rd_one, "counts")["checksum"]
+    os.remove(os.path.join(rd_one, "_lineage", "counts.json"))
+    Pipeline(spark, CFG, rd_one, inp, until="counts",
+             restrict_samples=[sample]).run()
+    assert read_lineage(rd_one, "counts")["checksum"] == before
+
+
+def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
+    """ADVICE r2: combine must refuse (not silently skip the compat
+    check) when a run has no matrix lineage, unless overridden."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    common = ["--kmer-size", "8", "--nb-partitions", "4", "--cores", "8"]
+    rd_a, rd_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_a, "--until", "matrix", *common])
+    _cli(["pipeline", "--input", inp, "--run-dir", rd_b, "--until", "matrix", *common])
+    os.remove(os.path.join(rd_b, "_lineage", "matrix.json"))
+    err = _cli(["combine", "--run-dir", rd_a, "--other", rd_b,
+                "--output", str(tmp_path / "c1"), "--cores", "8"], expect_fail=True)
+    assert "lineage" in err
+    rec = json.loads(_cli(["combine", "--run-dir", rd_a, "--other", rd_b,
+                           "--allow-missing-lineage",
+                           "--output", str(tmp_path / "c2"), "--cores", "8"]))
+    assert rec["rows"] > 0
