@@ -56,6 +56,10 @@ def _add_common(p):
     p.add_argument("--bitw", type=int, default=2)
     p.add_argument("--bloom-mode", choices=["bf", "bft", "bfc"], default="bf",
                    help="--mode hash:{bf,bft,bfc} analogue (cli.cpp:150-199)")
+    p.add_argument("--export-filters", choices=["kmbf", "howdesbt"], default=None,
+                   help="also write one standalone BF file per sample "
+                        "(howdesbt = reference bffileheader layout, "
+                        "howde_utils.hpp:56-122)")
     p.add_argument("--repartition", choices=["static", "sampled"], default="static",
                    help="R3 static hash vs R2 sampled LPT map (task.hpp:183-199)")
     p.add_argument("--repart-from", type=str, default=None,
@@ -184,6 +188,7 @@ def main(argv=None):
             soft_min_quantile=args.soft_min_quantile,
             repart_from=args.repart_from,
             restrict_samples=samples,
+            export_bf=args.export_filters,
         )
         status = pl.run()
         print(json.dumps(status))

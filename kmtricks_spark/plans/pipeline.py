@@ -41,6 +41,7 @@ class Pipeline:
         soft_min_quantile: float | None = None,
         repart_from: str | None = None,
         restrict_samples: list[str] | None = None,
+        export_bf: str | None = None,
     ):
         if until is not None and until not in STAGES:
             raise ValueError(f"until must be one of {STAGES}")
@@ -62,9 +63,11 @@ class Pipeline:
         self.restrict_samples = restrict_samples
         self.soft_min_quantile = soft_min_quantile
         self.repart_from = repart_from
+        self.export_bf = export_bf
         self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to,
                         "repart_from": repart_from,
-                        "restrict_samples": restrict_samples}
+                        "restrict_samples": restrict_samples,
+                        "export_bf": export_bf}
 
     # ---- helpers
 
@@ -211,6 +214,15 @@ class Pipeline:
             slices_r = read_stage(self.spark, self.run_dir, "bloom")
             write_stage(bf_concat(slices_r, self.cfg), self.run_dir, "bloom_filters")
             write_stage(fpr_report(slices_r, self.cfg), self.run_dir, "fpr")
+            if self.export_bf:
+                from kmtricks_spark.sources.howde import export_filters
+
+                export_filters(
+                    read_stage(self.spark, self.run_dir, "bloom_filters"),
+                    os.path.join(self.run_dir, "filters"),
+                    self.cfg,
+                    bf_format=self.export_bf,
+                )
             self._finish("bloom", slices_r)
 
     def run(self) -> dict[str, str]:

@@ -3,11 +3,21 @@
 The reference writes one standalone Bloom-filter file per sample by
 concatenating that sample's per-partition hash windows behind a
 `bffileheader` (howde_utils.hpp:56-122: magic, version, k, num bits,
-single BF component). We reproduce the *shape* — a fixed little-endian
-header followed by the raw bit vector — without depending on howdesbt:
-the point under test is that per-partition windows concatenate into one
-queryable filter (hash.hpp:34-80 arithmetic), which tests verify by
-probing through the file-level artifact.
+single BF component). Two container formats:
+
+* KMBF (default): a compact self-defined little-endian header followed
+  by the raw bit vector — the engine's own artifact.
+* howdesbt: mirrors the reference's bffileheader write protocol
+  (howde_utils.hpp:56-122) field-for-field: a two-phase write (zeroed
+  header region stamped with the UNFINISHED magic + prefix first, data,
+  then the finished header rewritten at offset 0 — the crash-consistency
+  trick), single uncompressed vector, numBytes = bits/8 + 8 for the
+  leading 8-byte size word the reference emits before the windows
+  (howde_utils.hpp:148). Field order and sizes follow the assignments
+  in the reference verbatim; howdesbt's numeric magic/kind constants are
+  not vendored in the reference repo, so they are module-level
+  parameters (defaults below) — override them for bit-exact interop
+  with an external howdesbt build.
 """
 
 from __future__ import annotations
@@ -19,6 +29,21 @@ import numpy as np
 
 MAGIC = b"KMBF0001"
 VERSION = 1
+
+# --- howdesbt bffileheader parameters (howde_utils.hpp:56-86) ---------
+# layout: magic u64 | headerSize u32 | version u32 | bfKind u32 |
+# smerSize u32 | numHashes u32 | pad4 | hashSeed1 u64 | hashSeed2 u64 |
+# hashModulus u64 | numBits u64 | numVectors u32 | setSizeKnown u32 |
+# setSize u64 | info[0]{compressor u32, name u32, offset u64,
+# numBytes u64, filterInfo u64}  => 112 bytes, already 16-aligned
+_HOWDE_FMT = "<QIIIII4xQQQQIIQIIQQQ"
+_HOWDE_PREFIX_FMT = "<QII"  # bffileprefix: magic, headerSize, version
+HOWDE_HEADER_SIZE = struct.calcsize(_HOWDE_FMT)  # round_up_16(112) == 112
+HOWDE_MAGIC = int.from_bytes(b"HOWDESBF", "little")      # parameterized:
+HOWDE_MAGIC_UN = int.from_bytes(b"HOWDESUN", "little")   # see module doc
+HOWDE_VERSION = 2
+HOWDE_BFKIND_SIMPLE = 1
+HOWDE_BVCOMP_UNCOMPRESSED = 0
 
 
 @dataclass(frozen=True)
@@ -47,6 +72,70 @@ def write_bf_file(path: str, header: BFHeader, filter_bytes: bytes) -> None:
         f.write(filter_bytes)
 
 
+def _howde_header_bytes(k: int, num_bits: int) -> bytes:
+    """The finished bffileheader for one uncompressed vector, mirroring
+    howde_utils.hpp:64-82 assignment-for-assignment."""
+    return struct.pack(
+        _HOWDE_FMT,
+        HOWDE_MAGIC,                 # header->magic
+        HOWDE_HEADER_SIZE,           # header->headerSize = round_up_16(...)
+        HOWDE_VERSION,               # header->version
+        HOWDE_BFKIND_SIMPLE,         # header->bfKind
+        k,                           # header->smerSize
+        1,                           # header->numHashes
+        0,                           # header->hashSeed1
+        0,                           # header->hashSeed2
+        num_bits,                    # header->hashModulus = bloom size
+        num_bits,                    # header->numBits
+        1,                           # header->numVectors
+        0,                           # header->setSizeKnown = false
+        0,                           # header->setSize
+        HOWDE_BVCOMP_UNCOMPRESSED,   # info[0].compressor
+        0,                           # info[0].name
+        HOWDE_HEADER_SIZE,           # info[0].offset = bytes written so far
+        num_bits // 8 + 8,           # info[0].numBytes (+8: size word)
+        0,                           # info[0].filterInfo
+    )
+
+
+def write_bf_file_howdesbt(path: str, header: BFHeader, filter_bytes: bytes) -> None:
+    """Two-phase write, as the reference does it (howde_utils.hpp:56-86 +
+    data at :148-150): (1) zeroed header region carrying only the
+    UNFINISHED prefix, (2) the 8-byte bloom-size word + concatenated
+    windows, (3) seek(0) and the finished header. A writer killed mid-way
+    leaves the UNFINISHED magic, which read_bf_file_howdesbt refuses."""
+    assert len(filter_bytes) * 8 == header.num_bits, "filter/num_bits mismatch"
+    with open(path, "wb") as f:
+        unfinished = bytearray(HOWDE_HEADER_SIZE)
+        prefix_size = struct.calcsize(_HOWDE_PREFIX_FMT)
+        unfinished[:prefix_size] = struct.pack(
+            _HOWDE_PREFIX_FMT, HOWDE_MAGIC_UN, prefix_size, 0
+        )
+        f.write(bytes(unfinished))
+        f.write(struct.pack("<Q", header.num_bits))  # sdsl-style size word
+        f.write(filter_bytes)
+        f.seek(0)
+        f.write(_howde_header_bytes(header.k, header.num_bits))
+
+
+def read_bf_file_howdesbt(path: str) -> tuple[BFHeader, np.ndarray]:
+    with open(path, "rb") as f:
+        raw = f.read(HOWDE_HEADER_SIZE)
+        fields = struct.unpack(_HOWDE_FMT, raw)
+        magic = fields[0]
+        if magic == HOWDE_MAGIC_UN:
+            raise ValueError(f"{path}: unfinished howdesbt BF (writer died mid-write)")
+        assert magic == HOWDE_MAGIC, f"bad howdesbt magic {magic:#x}"
+        k, num_bits, num_bytes = fields[4], fields[9], fields[16]
+        assert num_bytes == num_bits // 8 + 8
+        (size_word,) = struct.unpack("<Q", f.read(8))
+        assert size_word == num_bits
+        bits = np.frombuffer(f.read(num_bits // 8), dtype=np.uint8)
+    # partition layout is not part of the howdesbt header (the file is one
+    # flat vector); nb_partitions/window_bits come back zeroed
+    return BFHeader(k, num_bits, 0, 0, -1), bits
+
+
 def read_bf_file(path: str) -> tuple[BFHeader, np.ndarray]:
     with open(path, "rb") as f:
         magic = f.read(8)
@@ -57,3 +146,33 @@ def read_bf_file(path: str) -> tuple[BFHeader, np.ndarray]:
         window_bits = (packed & 0xFFFFFFFF) * 64
         bits = np.frombuffer(f.read(num_bits // 8), dtype=np.uint8)
     return BFHeader(k, num_bits, nb_partitions, window_bits, n_set), bits
+
+
+def export_filters(filters_df, out_dir: str, cfg, bf_format: str = "kmbf") -> list[str]:
+    """One standalone BF file per sample from the bloom_filters table
+    (sample_id, total_set, filter) — the reference's per-sample filter
+    files (howde_utils.hpp build()). Streams rows via toLocalIterator so
+    only one sample's filter is in driver memory at a time; files are the
+    per-sample artifact, inherently a driver/file operation (same as the
+    reference's per-file concat)."""
+    import os
+
+    if bf_format not in ("kmbf", "howdesbt"):
+        raise ValueError(f"bf_format must be kmbf|howdesbt, got {bf_format!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    writer = write_bf_file if bf_format == "kmbf" else write_bf_file_howdesbt
+    ext = "kmbf" if bf_format == "kmbf" else "bf"
+    paths = []
+    for row in filters_df.select("sample_id", "total_set", "filter").toLocalIterator():
+        blob = bytes(row["filter"])
+        hdr = BFHeader(
+            k=cfg.k,
+            num_bits=len(blob) * 8,
+            nb_partitions=cfg.nb_partitions,
+            window_bits=cfg.window_bits,
+            n_set=int(row["total_set"]),
+        )
+        p = os.path.join(out_dir, f"{row['sample_id']}.{ext}")
+        writer(p, hdr, blob)
+        paths.append(p)
+    return paths

@@ -139,6 +139,109 @@ def test_sample_id_module_granularity(spark, sf_dir, tmp_path):
     assert read_lineage(rd_one, "counts")["checksum"] == before
 
 
+def test_howdesbt_header_golden_bytes(tmp_path):
+    """Pin the bffileheader byte layout (howde_utils.hpp:56-86): 112-byte
+    header, field offsets exactly as the reference assigns them, numBytes
+    = bits/8 + 8 for the leading size word."""
+    import struct
+
+    from kmtricks_spark.sources.howde import (
+        HOWDE_HEADER_SIZE,
+        HOWDE_MAGIC,
+        BFHeader,
+        read_bf_file_howdesbt,
+        write_bf_file_howdesbt,
+    )
+
+    assert HOWDE_HEADER_SIZE == 112  # round_up_16(sizeof(bffileheader))
+    bits = bytes([0b10100101] * 64)  # 512-bit filter
+    p = str(tmp_path / "s.bf")
+    write_bf_file_howdesbt(p, BFHeader(8, 512, 4, 128, 4 * 64), bits)
+    raw = open(p, "rb").read()
+    assert len(raw) == 112 + 8 + 64
+    # golden field offsets (little-endian)
+    assert struct.unpack_from("<Q", raw, 0)[0] == HOWDE_MAGIC
+    assert struct.unpack_from("<I", raw, 8)[0] == 112      # headerSize
+    assert struct.unpack_from("<I", raw, 20)[0] == 8       # smerSize = k
+    assert struct.unpack_from("<I", raw, 24)[0] == 1       # numHashes
+    assert struct.unpack_from("<Q", raw, 48)[0] == 512     # hashModulus
+    assert struct.unpack_from("<Q", raw, 56)[0] == 512     # numBits
+    assert struct.unpack_from("<I", raw, 64)[0] == 1       # numVectors
+    assert struct.unpack_from("<Q", raw, 88)[0] == 112     # info[0].offset
+    assert struct.unpack_from("<Q", raw, 96)[0] == 512 // 8 + 8  # numBytes
+    assert struct.unpack_from("<Q", raw, 112)[0] == 512    # size word
+    assert raw[120:] == bits
+    hdr, got = read_bf_file_howdesbt(p)
+    assert hdr.k == 8 and hdr.num_bits == 512 and bytes(got) == bits
+
+
+def test_howdesbt_unfinished_write_detected(tmp_path):
+    """The two-phase protocol: a file cut before the final header rewrite
+    still carries the UNFINISHED magic and must be refused."""
+    import struct
+
+    from kmtricks_spark.sources.howde import (
+        HOWDE_HEADER_SIZE,
+        HOWDE_MAGIC_UN,
+        _HOWDE_PREFIX_FMT,
+        read_bf_file_howdesbt,
+    )
+
+    p = str(tmp_path / "dead.bf")
+    with open(p, "wb") as f:  # phase 1 only, as a killed writer leaves it
+        un = bytearray(HOWDE_HEADER_SIZE)
+        ps = struct.calcsize(_HOWDE_PREFIX_FMT)
+        un[:ps] = struct.pack(_HOWDE_PREFIX_FMT, HOWDE_MAGIC_UN, ps, 0)
+        f.write(bytes(un))
+        f.write(struct.pack("<Q", 512) + bytes(64))
+    with pytest.raises(ValueError, match="unfinished"):
+        read_bf_file_howdesbt(p)
+
+
+def test_pipeline_export_filters_probe(spark, sf_dir, tmp_path):
+    """--export-filters howdesbt: one file per sample; probing counted
+    kgrams through the exported artifact reports member for all (the
+    no-false-negative contract through the file layer)."""
+    import numpy as np
+
+    from kmtricks_spark.operators.bloom_stage import bf_contains
+    from kmtricks_spark.operators.count import count_kgrams
+    from kmtricks_spark.sources.howde import read_bf_file_howdesbt
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "exp")
+    Pipeline(spark, CFG, rd, inp, export_bf="howdesbt").run()
+    fdir = os.path.join(rd, "filters")
+    files = sorted(os.listdir(fdir))
+    counts = count_kgrams(spark.read.parquet(inp), CFG)
+    n_samples = counts.select("sample_id").distinct().count()
+    assert len(files) == n_samples and all(f.endswith(".bf") for f in files)
+    sample = files[0][: -len(".bf")]
+    hdr, bits = read_bf_file_howdesbt(os.path.join(fdir, sample + ".bf"))
+    assert hdr.num_bits == CFG.window_bits * CFG.nb_partitions
+    some = (
+        counts.where(F.col("sample_id") == sample)
+        .select("kgram", "part_id")
+        .limit(50)
+        .collect()
+    )
+    assert some
+    w = CFG.window_bits
+    idx = np.array(
+        [r.part_id * w for r in some], dtype=np.int64
+    ) + np.array(
+        [_local_idx(spark, r.kgram, w) for r in some], dtype=np.int64
+    )
+    assert bf_contains(bytes(bits), idx).all()
+
+
+def _local_idx(spark, kgram, w):
+    """xxhash64(kgram) % w via Spark itself (same hash as the build)."""
+    return spark.sql(
+        "SELECT pmod(xxhash64(?), ?)", args=[kgram, w]
+    ).first()[0]
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
