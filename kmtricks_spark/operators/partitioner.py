@@ -210,9 +210,14 @@ def two_level_count(df: DataFrame, keys: list[str], salt_buckets: int = 16) -> D
     return partial.groupBy(*keys).agg(F.sum("pcount").alias("count"))
 
 
-def partition_balance(df: DataFrame, part_col: str = "part_id") -> DataFrame:
-    """Load report: rows per partition + max/mean ratio (R5 analogue)."""
-    per = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("rows"))
+def partition_balance(
+    df: DataFrame, part_col: str = "part_id", weight_col: str | None = None
+) -> DataFrame:
+    """Load report: rows (or summed `weight_col` — e.g. instance counts,
+    the mass the reference's LPT balances) per partition + max/mean ratio
+    (R5 analogue). imbalance == 1.0 is perfect balance."""
+    load = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    per = df.groupBy(part_col).agg(load.alias("rows"))
     stats = per.agg(
         F.max("rows").alias("max_rows"),
         F.avg("rows").alias("mean_rows"),

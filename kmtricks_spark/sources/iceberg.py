@@ -24,7 +24,13 @@ def iceberg_available(spark: SparkSession) -> bool:
     key = "ok"
     if key not in _PROBED:
         try:
-            spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+            # Class.forName raises through py4j when the jar is absent;
+            # attribute access alone (jvm.org.apache...) yields a lazy
+            # JavaPackage and NEVER fails — probing that way reports
+            # Iceberg present on every cluster
+            spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
             _PROBED[key] = True
         except Exception:
             _PROBED[key] = False
