@@ -651,7 +651,7 @@ def _q_ann_pairs(spark, sf_dir):
     both = _dup_emb(spark, sf_dir)
     dim = len(both.select("embedding").first()[0])
     sigs = hyperplane_signatures(both, dim=dim, bits=10)
-    return ann_pairs(sigs, min_cosine=0.9)
+    return ann_pairs(sigs, min_cosine=0.9, vectors=both)
 
 
 def _q_ann_exact_dups(spark, sf_dir):
@@ -662,7 +662,7 @@ def _q_ann_exact_dups(spark, sf_dir):
     both = _dup_emb(spark, sf_dir)
     dim = len(both.select("embedding").first()[0])
     sigs = hyperplane_signatures(both, dim=dim, bits=10)
-    return ann_pairs(sigs, min_cosine=1.0).select("a", "b")
+    return ann_pairs(sigs, min_cosine=1.0, vectors=both).select("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -185,6 +185,7 @@ def ann_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe: int = 0,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from shared LSH bucket, verified by exact cosine.
 
@@ -202,7 +203,14 @@ def ann_pairs(
     straddle a single hyperplane then still become candidates; candidate
     volume grows ~(1+q)x. Use more bits for bigger corpora (bucket
     occupancy ~N/2^bits controls the join fan-out).
+
+    Pass `vectors` (the raw (id, vec) table the signatures came from) so
+    the exact-verify side reads it directly — deriving vectors from
+    `sigs` re-executes the signature UDF on a branch that discards its
+    output (Catalyst does not prune an ArrowEvalPython feeding a pruned
+    column). Defaults to `sigs` for API compatibility.
     """
+    src = vectors if vectors is not None else sigs
     ids = sigs.select("bucket", F.col(id_col).alias("id"))
     if multiprobe:
         probes = F.array(
@@ -219,8 +227,8 @@ def ann_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    va = sigs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = sigs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    va = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     j = cand.join(va, "a").join(vb, "b")
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return j.select("a", "b", F.round(cos, 6).alias("cosine")).where(
