@@ -483,6 +483,29 @@ def _dup_docs(spark, sf_dir):
     return d.unionByName(dup)
 
 
+def _q_dup_cluster_assign(spark, sf_dir):
+    """Near-dup clustering (connected components over dup pairs),
+    hash-matched: exact-duplicate edges from md5-fingerprint equality
+    (incl. 3-cliques from a second planted copy, so transitive closure
+    is exercised), min-label propagation assigns cluster_id = min
+    reachable id. Oracle: fp groups ARE the components of this graph."""
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    docs = _dup_docs(spark, sf_dir)
+    extra = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(extra)
+    fps = all_docs.select("doc_id", F.md5("text").alias("fp"))
+    pairs = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return dup_clusters(pairs)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     sigs = minhash_signatures(_dup_docs(spark, sf_dir))
     return minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
@@ -699,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_exact_dup_pairs": _q_ann_exact_dups,
         "events_sessions": _q_events_sessions,
         "curation_pipeline": _q_curation,
+        "dup_cluster_assign": _q_dup_cluster_assign,
         "bf_fpr_report": _q_bf_fpr,
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,
@@ -1063,6 +1087,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_exact_dup_pairs": """
         SELECT vec_id AS a, vec_id + 1000000 AS b
         FROM embeddings WHERE vec_id < 10
+        """,
+        # connected components of the exact-dup graph == md5 groups:
+        # every pair edge comes from fp equality, so each component is
+        # exactly one fingerprint group and its min id is the cluster id
+        "dup_cluster_assign": """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+        ),
+        g AS (SELECT doc_id, md5(text) AS fp FROM all_docs),
+        c AS (SELECT fp, min(doc_id) AS cid, count(*) AS n FROM g GROUP BY fp)
+        SELECT g.doc_id AS id, c.cid AS cluster_id
+        FROM g JOIN c USING (fp) WHERE c.n >= 2
         """,
         # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
         # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->

@@ -159,6 +159,19 @@ def bench_queries(spark) -> dict[str, float]:
         .agg(F.sum("total_set")).collect()
     )
 
+    # probe workload: every counted (sample, kgram) probed back through
+    # the slices — the BF's reason to exist; exercises the cogrouped
+    # vectorized bit gather (no per-row Python)
+    from kmtricks_spark.operators.bloom_stage import bf_probe
+
+    slices = bf_slices(hash_counts(counts, bcfg), bcfg).cache()
+    slices.count()  # build off the clock; the probe is what's timed
+    probes = counts.select("sample_id", "kgram")
+    out["bf_probe"] = _timed(
+        lambda: bf_probe(slices, probes, bcfg).agg(F.sum("member")).collect()
+    )
+    slices.unpersist()
+
     hashed = counts.select("sample_id", F.xxhash64("kgram").alias("h"))
     out["hll_per_sample"] = _timed(
         lambda: sketch_agg(hashed, ["sample_id"], "h", "hll", p=14)

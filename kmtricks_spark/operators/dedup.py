@@ -318,3 +318,92 @@ def ngram_jaccard_pairs(
         )
     )
     return j.where(F.col("jaccard") >= min_jaccard).select("a", "b", "jaccard")
+
+
+# ------------------------------------------------- duplicate clustering
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs -> (id, cluster_id),
+    cluster_id = the minimum id reachable from `id`. The missing last
+    step of every near-dup pipeline: LSH/SimHash/ANN emit PAIRS, but the
+    keep/drop decision needs CLUSTERS (a-b + b-c must drop two of
+    {a,b,c}, not one).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    set — each round every node takes the min label in its closed
+    neighborhood; converges in graph-diameter rounds, and near-dup
+    clusters are shallow (duplicates of one document form near-cliques,
+    diameter 2-3), so 3-5 rounds settle real workloads. Each round is
+    one join + one groupBy (2 shuffles) on (id, label) pairs — never the
+    pair-space. Convergence is checked with a cheap changed-count agg;
+    raises if max_iter rounds do not converge (a pathological chain —
+    at web scale switch to the O(log n)-round large-star/small-star
+    of Kiveris et al., "Connected Components in MapReduce and Beyond",
+    whose per-round shape is the same join+min as here).
+
+    Only ids that appear in some pair are returned (singletons are their
+    own cluster by definition and never shuffle).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .cache()  # re-joined every round; without this the pair source re-executes per round
+    )
+    # init: label = min(id, min neighbor) — one round for free.
+    # localCheckpoint (not cache) each round: caching keeps the LOGICAL
+    # plan, which doubles in depth every iteration and overwhelms
+    # Catalyst after ~20 rounds (the classic iterative-DataFrame trap);
+    # an eager local checkpoint truncates lineage to the materialized
+    # blocks, keeping round r's plan the same size as round 1's.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("mn")).alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("u", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            # labels is a checkpointed table: the returned frame reads the
+            # materialized blocks, not the iteration lineage
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds — "
+        "pathological chain graph; use a larger max_iter or a "
+        "large-star/small-star implementation"
+    )
+
+
+def dedup_keep_set(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Apply near-dup clustering as a curation decision: keep the minimum
+    id of every duplicate cluster plus every unpaired document. Returns
+    the surviving rows of `df` (a left-anti join against the drop set —
+    the drop set is tiny relative to the corpus, never the other way
+    round)."""
+    drops = dup_clusters(pairs).where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -242,6 +242,43 @@ def _local_idx(spark, kgram, w):
     ).first()[0]
 
 
+def test_dup_clusters_transitive_chain(spark):
+    """a-b + b-c + c-d is ONE cluster labeled by the min id; disjoint
+    pairs stay separate; unpaired ids never appear."""
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["a", "b"]
+    )
+    got = {(r.id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        # a 30-chain needs ~15 min-propagation rounds; 2 cannot finish
+        dup_clusters(chain, max_iter=2)
+    # ...but enough rounds do
+    labels = dup_clusters(chain, max_iter=40).collect()
+    assert all(r.cluster_id == 0 for r in labels) and len(labels) == 31
+
+
+def test_dedup_keep_set(spark):
+    """Keep = min of every cluster + all unpaired docs."""
+    from kmtricks_spark.operators.dedup import dedup_keep_set
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], ["a", "b"])
+    kept = sorted(r.doc_id for r in dedup_keep_set(docs, pairs).collect())
+    assert kept == [0, 1, 3, 4, 6]
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
