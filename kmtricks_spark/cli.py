@@ -129,6 +129,18 @@ def main(argv=None):
     filt.add_argument("--output", required=True)
     filt.add_argument("--cores", type=int, default=None)
 
+    cur = sub.add_parser("curate", help="quality/rules/lang/dedup funnel -> curated parquet")
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--output", required=True)
+    cur.add_argument("--min-quality", type=float, default=0.5,
+                     help="quality_score threshold; negative disables")
+    cur.add_argument("--gopher", action="store_true", help="apply Gopher rules (keep==1)")
+    cur.add_argument("--langs", type=str, default=None,
+                     help="comma-separated lang_guess codes to keep")
+    cur.add_argument("--dedup", choices=["none", "exact", "minhash"], default="exact")
+    cur.add_argument("--min-jaccard", type=float, default=0.8)
+    cur.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "infos":
         return _infos(args.run_dir)
@@ -158,6 +170,20 @@ def main(argv=None):
         if args.cmd == "dump":
             df = spark.read.parquet(f"{args.run_dir}/{args.stage}")
             df.show(args.limit, truncate=False)
+            return 0
+        if args.cmd == "curate":
+            from kmtricks_spark.operators.curation import curate
+
+            kept, report = curate(
+                spark.read.parquet(args.input),
+                min_quality=(None if args.min_quality < 0 else args.min_quality),
+                gopher=args.gopher,
+                langs=args.langs.split(",") if args.langs else None,
+                dedup=(None if args.dedup == "none" else args.dedup),
+                min_jaccard=args.min_jaccard,
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"curate": "done", "output": args.output, **report}))
             return 0
         if args.cmd in ("aggregate", "combine", "filter"):
             return _post_op(spark, args)

@@ -1,0 +1,87 @@
+"""End-to-end corpus curation: quality -> rules -> language -> dedup.
+
+The composition a training-data pipeline actually runs over raw pages
+(the `curation_pipeline` query is the oracle-pinned core of it): each
+stage is one of this repo's oracled operators, chained as DataFrame
+transformations so Catalyst fuses the scalar filters into the scan and
+the only shuffles are the ones dedup inherently needs (md5 groupBy, or
+the LSH band join + cluster propagation for near-dup mode).
+
+Returns both the surviving rows and a per-stage funnel report — the
+numbers a curation run is judged by (how much did each gate remove).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kmtricks_spark.functions.text import gopher_filters, lang_guess, quality_score
+
+
+def curate(
+    df: DataFrame,
+    min_quality: float | None = 0.5,
+    gopher: bool = False,
+    langs: list[str] | None = None,
+    dedup: str | None = "exact",
+    min_jaccard: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Apply the curation funnel; returns (survivors, report).
+
+    dedup: None | 'exact' (md5 keep-min) | 'minhash' (LSH candidate
+    pairs -> connected-component clusters -> keep cluster minima).
+    The funnel report runs one count() per enabled stage — that is the
+    deliverable of a curation run, not overhead.
+    """
+    report: dict = {"input": df.count()}
+    kept = df
+
+    if min_quality is not None:
+        q = quality_score(kept, text_col=text_col, id_col=id_col).where(
+            F.col("quality") >= min_quality
+        )
+        kept = kept.join(q.select(id_col), id_col)
+        report["after_quality"] = kept.count()
+
+    if gopher:
+        g = gopher_filters(kept, text_col=text_col, id_col=id_col).where(
+            F.col("keep") == 1
+        )
+        kept = kept.join(g.select(id_col), id_col)
+        report["after_gopher"] = kept.count()
+
+    if langs:
+        lg = lang_guess(kept, text_col=text_col, id_col=id_col).where(
+            F.col("lang_guess").isin(list(langs))
+        )
+        kept = kept.join(lg.select(id_col), id_col)
+        report["after_lang"] = kept.count()
+
+    if dedup == "exact":
+        from kmtricks_spark.operators.dedup import exact_dedup
+
+        keep_ids = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        kept = kept.join(keep_ids, id_col)
+        report["after_dedup"] = kept.count()
+    elif dedup == "minhash":
+        from kmtricks_spark.operators.dedup import (
+            dedup_keep_set,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(kept.select(id_col, text_col), id_col=id_col,
+                                  text_col=text_col)
+        pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
+        kept = dedup_keep_set(kept, pairs.select("a", "b"), id_col=id_col)
+        report["after_dedup"] = kept.count()
+    elif dedup is not None:
+        raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
+
+    report["removed"] = report["input"] - report[list(report)[-1]]
+    return kept, report

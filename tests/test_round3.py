@@ -279,6 +279,53 @@ def test_dedup_keep_set(spark):
     assert kept == [0, 1, 3, 4, 6]
 
 
+def test_curate_funnel_matches_manual_composition(spark, sf_dir):
+    """curate() == the same operators applied by hand; funnel counts are
+    monotone non-increasing and the report is complete."""
+    from kmtricks_spark.functions.text import quality_score
+    from kmtricks_spark.operators.curation import curate
+    from kmtricks_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dup = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    corpus = docs.unionByName(dup)
+    kept, report = curate(corpus, min_quality=0.5, dedup="exact")
+    assert report["input"] == corpus.count()
+    assert report["input"] >= report["after_quality"] >= report["after_dedup"]
+    assert report["removed"] == report["input"] - report["after_dedup"]
+    # manual: same quality gate, same keep-min dedup
+    q = quality_score(corpus).where(F.col("quality") >= 0.5).select("doc_id")
+    manual = corpus.join(q, "doc_id")
+    keep = exact_dedup(manual).select(F.col("keep_id").alias("doc_id"))
+    manual = manual.join(keep, "doc_id")
+    assert kept.count() == report["after_dedup"] == manual.count()
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got == {r.doc_id for r in manual.select("doc_id").collect()}
+    # planted dups are gone (their base survives when quality passes)
+    assert not any(i >= 1_000_000 for i in got)
+
+
+def test_cli_curate_minhash(tmp_path, sf_dir):
+    """CLI surface + near-dup mode end-to-end: report funnel keys present,
+    output parquet readable, planted exact dups removed via LSH->clusters."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    out = str(tmp_path / "curated.parquet")
+    rec = json.loads(_cli([
+        "curate", "--input", inp, "--output", out,
+        "--min-quality", "-1", "--dedup", "minhash", "--min-jaccard", "0.9",
+        "--langs", "en,de,fr,es", "--cores", "8",
+    ]))
+    assert rec["curate"] == "done"
+    assert rec["input"] == 500 and 0 < rec["after_dedup"] <= rec["after_lang"]
+    from kmtricks_spark import get_spark
+
+    s = get_spark(cores=8)
+    assert s.read.parquet(out).count() == rec["after_dedup"]
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
