@@ -158,6 +158,75 @@ def stateful_streaming_hll(docs: DataFrame, cfg: KmConfig, p: int = 12) -> DataF
     )
 
 
+def stateful_streaming_cms(
+    docs: DataFrame,
+    probe_hashes: list[int],
+    width: int = 2048,
+    depth: int = 5,
+    sample_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous per-sample token heavy-hitter estimates with the CMS
+    payload as SPARK-MANAGED state (the stateful_streaming_hll pattern,
+    frequency flavor): each micro-batch folds its token hashes into the
+    group's sketch, then reports the current estimate for every probe.
+
+    `probe_hashes` = xxhash64 of the tracked tokens (computed once,
+    batch-side; the stream must use the same hash). Cell-sum merge is
+    associative, so the final state equals the batch CMS exactly and the
+    never-underestimate / <= exact + eps*N guarantees carry over across
+    any micro-batch slicing — pinned by the streaming-vs-batch test.
+    Emits (sample_id, probe_hash, cms_est, updates); consumers take each
+    group's latest `updates` row."""
+    import numpy as np
+    import pandas as pd
+
+    from kmtricks_spark.sketches import cms
+
+    probes = np.array(probe_hashes, dtype=np.int64).view(np.uint64)
+    out_schema = StructType(
+        [
+            StructField("sample_id", StringType()),
+            StructField("probe_hash", LongType()),
+            StructField("cms_est", LongType()),
+            StructField("updates", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("payload", BinaryType()), StructField("updates", LongType())]
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            payload, n_upd = state.get
+            st = cms.deserialize(bytes(payload))
+        else:
+            st, n_upd = cms.create(width=width, depth=depth), 0
+        for pdf in pdfs:
+            hs = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+            cms.add_hashes(st, hs)
+        n_upd += 1
+        state.update((bytearray(cms.serialize(st)), n_upd))
+        est = cms.query(st, probes)
+        yield pd.DataFrame(
+            {
+                "sample_id": key[0],
+                "probe_hash": probes.view(np.int64),
+                "cms_est": est.astype(np.int64),
+                "updates": np.int64(n_upd),
+            }
+        )
+
+    toks = docs.select(
+        F.col(sample_col).alias("sample_id"),
+        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("tok"),
+    )
+    hashed = toks.select("sample_id", F.xxhash64("tok").alias("h"))
+    return hashed.groupBy("sample_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain the currently-available input into an in-memory table and
     stop — the batch-equivalence test harness for streaming plans."""

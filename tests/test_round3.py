@@ -326,6 +326,70 @@ def test_cli_curate_minhash(tmp_path, sf_dir):
     assert s.read.parquet(out).count() == rec["after_dedup"]
 
 
+def test_stateful_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
+    """CMS payload as Spark-managed state: the final per-probe estimates
+    EQUAL the single-batch CMS exactly (cell-sum merge is associative,
+    so micro-batch slicing cannot change a cell), and the classic
+    never-underestimate guarantee holds vs exact token counts."""
+    import numpy as np
+
+    from kmtricks_spark.sketches import cms
+    from kmtricks_spark.streaming.count_stream import (
+        run_available_now,
+        stateful_streaming_cms,
+        stream_docs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_cms_stream")
+    docs.repartition(3).write.parquet(src)
+
+    toks = docs.select(
+        F.col("source").alias("sample_id"),
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    top = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        F.col("n").desc(), "tok"
+    ).limit(8)
+    probe_rows = top.select("tok", F.xxhash64("tok").alias("h"), "n").collect()
+    probes = [r.h for r in probe_rows]
+
+    stream = stateful_streaming_cms(
+        stream_docs(spark, src, max_files=1), probes, width=2048, depth=5
+    )
+    run_available_now(stream, "cms_state_test", output_mode="update")
+    got = spark.sql(
+        """
+        select sample_id, probe_hash, cms_est from (
+          select *, row_number() over (partition by sample_id, probe_hash
+                                       order by updates desc) rn
+          from cms_state_test
+        ) where rn = 1
+        """
+    ).collect()
+    assert got
+
+    # batch reference: one CMS per sample over all tokens at once
+    hs = np.array(probes, dtype=np.int64).view(np.uint64)
+    hashed = toks.select("sample_id", F.xxhash64("tok").alias("h")).collect()
+    by_sample = {}
+    for r in hashed:
+        by_sample.setdefault(r.sample_id, []).append(r.h)
+    batch_est = {}
+    for s, vals in by_sample.items():
+        st = cms.create(width=2048, depth=5)
+        cms.add_hashes(st, np.array(vals, dtype=np.int64).view(np.uint64))
+        batch_est[s] = dict(zip(probes, cms.query(st, hs).tolist()))
+    exact = {
+        (r.sample_id, r.h): r.n
+        for r in toks.join(top.select("tok", F.xxhash64("tok").alias("h")), "tok")
+        .groupBy("sample_id", "h").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got:
+        assert r.cms_est == batch_est[r.sample_id][r.probe_hash], r
+        assert r.cms_est >= exact.get((r.sample_id, r.probe_hash), 0), r
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
