@@ -646,6 +646,22 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_search(assigned, cents, list(q), k=10, nprobe=6)
 
 
+def _q_ivf_batch_topk(spark, sf_dir):
+    """Batch ANN serving shape, hash-matched: nprobe == n_lists probes
+    every inverted list, so the result is EXACT brute-force top-k per
+    query (independent of k-means placement) — the oracle enumerates it;
+    nprobe < n_lists recall is covered by the ivf recall test."""
+    from kmtricks_spark.operators.similarity import ivf_assign, ivf_search_batch, ivf_train
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train(emb, n_lists=16, seed=1)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_search_batch(assigned, cents, queries, k=5, nprobe=16)
+
+
 def _q_winnow_fp(spark, sf_dir):
     """Winnowing selection, hash-matched end-to-end: the md5 hash variant
     orders k-gram hashes lexicographically on hex strings, which DuckDB
@@ -723,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "curation_pipeline": _q_curation,
         "dup_cluster_assign": _q_dup_cluster_assign,
+        "ivf_batch_topk": _q_ivf_batch_topk,
         "bf_fpr_report": _q_bf_fpr,
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,
@@ -1022,6 +1039,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, round(dot / (na.nv * nb.nv), 6) AS cosine
         FROM d JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
         WHERE round(dot / (na.nv * nb.nv), 6) >= 0.4
+        """,
+        # batch IVF with every list probed == exact top-k per query;
+        # ordering mirrors the Spark side: (rounded cosine desc, vec_id)
+        "ivf_batch_topk": """
+        WITH v AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, x AS qx, i FROM v WHERE vec_id < 3),
+        d AS (
+          SELECT q.q_id, v.vec_id, sum(v.x * q.qx) AS dot,
+                 sqrt(sum(v.x * v.x)) AS nv
+          FROM v JOIN q USING (i) GROUP BY 1, 2
+        ),
+        n AS (SELECT q_id, sqrt(sum(qx * qx)) AS nq FROM q GROUP BY 1),
+        r AS (
+          SELECT d.q_id, vec_id, round(dot / (nv * nq), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY d.q_id
+                   ORDER BY round(dot / (nv * nq), 6) DESC, vec_id) AS rank
+          FROM d JOIN n ON n.q_id = d.q_id
+        )
+        SELECT q_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 5
         """,
         "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -179,6 +179,60 @@ def ivf_search(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batch ANN: a DataFrame of queries against the IVF index in ONE
+    distributed plan — the serving shape (ivf_search is the single-query
+    convenience wrapper). Per query: its `nprobe` nearest lists (Arrow
+    UDF, centroid matrix in the closure), then a join on list_id against
+    the assigned corpus — the query side is explicitly broadcast (queries
+    x nprobe rows are tiny next to 10^12 corpus rows, and broadcasting
+    them means the corpus NEVER shuffles), exact cosine re-rank, window
+    top-k per query. nprobe = n_lists degrades gracefully to exact
+    brute-force top-k (every list probed), which is what the DuckDB
+    oracle pins.
+
+    Returns (q_id, vec_id, cosine, rank), rank 1..k by (cosine desc,
+    vec_id) — deterministic ties."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = centroids.astype(np.float64)
+    npb = min(nprobe, cents.shape[0])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(v), dtype=np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1)[:, :npb].astype(np.int32)
+        return pd.Series(list(idx))
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).alias("qv"),
+        F.explode(probe_lists(F.col(q_vec_col))).alias("list_id"),
+    )
+    cand = assigned.join(F.broadcast(q), "list_id")
+    cos = _dot(F.col("qv"), F.col(vec_col)) / (_norm(F.col("qv")) * _norm(F.col(vec_col)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cand.select("q_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_pairs(
     sigs: DataFrame,
     min_cosine: float = 0.8,

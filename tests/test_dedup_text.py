@@ -131,6 +131,46 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, recall  # nprobe=4 of 8 lists
 
 
+def test_ivf_search_batch_matches_single_and_recalls(spark):
+    """Batch IVF == the single-query wrapper per query at equal nprobe;
+    nprobe=n_lists returns exact brute-force top-k regardless of
+    centroid placement."""
+    import numpy as np
+
+    from kmtricks_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        ivf_search_batch,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    cents = ivf_train(df, n_lists=8, seed=3)
+    assigned = ivf_assign(df, cents).cache()
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # exact mode: nprobe = n_lists == brute force
+    got = ivf_search_batch(assigned, cents, queries, k=5, nprobe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    for qi in range(4):
+        cos = vecs @ vecs[qi] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qi]))
+        expect = list(np.argsort(-np.round(cos, 6), kind="stable")[:5])
+        assert [v for _, v in sorted(by_q[qi])] == [int(i) for i in expect]
+    # approximate mode agrees with the single-query wrapper
+    sub = ivf_search_batch(assigned, cents, queries, k=5, nprobe=3)
+    one = ivf_search(assigned, cents, [float(x) for x in vecs[2]], k=5, nprobe=3)
+    batch2 = [r.vec_id for r in sub.where(F.col("q_id") == 2).orderBy("rank").collect()]
+    single2 = [r.vec_id for r in one.collect()]
+    assert batch2 == single2
+
+
 def test_ann_pairs_find_exact_dups(spark):
     import numpy as np
 
