@@ -161,14 +161,25 @@ def bench_queries(spark) -> dict[str, float]:
 
     # probe workload: every counted (sample, kgram) probed back through
     # the slices — the BF's reason to exist; exercises the cogrouped
-    # vectorized bit gather (no per-row Python)
+    # vectorized bit gather (no per-row Python). The probe cfg MUST
+    # match the counts table's partitioning (P=32 from CFG): bf_probe
+    # re-routes probes by nb_partitions, so a mismatched P would send
+    # half the probes to windows that were never built and silently
+    # probe nothing — asserted below via the no-false-negative count.
     from kmtricks_spark.operators.bloom_stage import bf_probe
 
-    slices = bf_slices(hash_counts(counts, bcfg), bcfg).cache()
+    pcfg = CFG.with_(bloom_bits=1 << 24)  # nb_partitions inherits CFG's 32
+    slices = bf_slices(hash_counts(counts, pcfg), pcfg).cache()
     slices.count()  # build off the clock; the probe is what's timed
     probes = counts.select("sample_id", "kgram")
     out["bf_probe"] = _timed(
-        lambda: bf_probe(slices, probes, bcfg).agg(F.sum("member")).collect()
+        lambda: bf_probe(slices, probes, pcfg).agg(F.sum("member")).collect()
+    )
+    n_mem = bf_probe(slices, probes, pcfg).agg(F.sum("member")).collect()[0][0]
+    n_probes = probes.count()
+    assert n_mem == n_probes, (
+        f"bf_probe bench leg is broken: {n_mem}/{n_probes} inserted keys "
+        "reported member — probe/build partitioning desync"
     )
     slices.unpersist()
 

@@ -120,14 +120,15 @@ def histogram(
     )
 
 
-def histogram_oob(counts: DataFrame, lower: int, upper: int) -> DataFrame:
+def histogram_oob(counts: DataFrame, lower: int, upper: int | None) -> DataFrame:
     """Out-of-bound histogram counters, one row per sample — exactly the
     reference's oob_{lu,ln,uu,un} (histogram.hpp:55-70: below-lower /
-    above-upper uniques and total occurrences).
+    above-upper uniques and total occurrences). upper=None means
+    unbounded above (the upper counters are identically zero).
 
     Returns (sample_id, oob_lu, oob_ln, oob_uu, oob_un)."""
     below = F.col("count") < lower
-    above = F.col("count") > upper
+    above = F.col("count") > upper if upper is not None else F.lit(False)
     zero = F.lit(0).cast("long")
     return counts.groupBy("sample_id").agg(
         F.sum(below.cast("long")).alias("oob_lu"),

@@ -34,7 +34,11 @@ def curate(
     dedup: None | 'exact' (md5 keep-min) | 'minhash' (LSH candidate
     pairs -> connected-component clusters -> keep cluster minima).
     The funnel report runs one count() per enabled stage — that is the
-    deliverable of a curation run, not overhead.
+    deliverable of a curation run, not overhead. Each gate is followed
+    by an eager localCheckpoint so the per-stage count, the downstream
+    gates, and the caller's final write all read materialized survivor
+    blocks instead of re-executing every upstream join (with 4 gates
+    the quality scan would otherwise run 5x).
     """
     report: dict = {"input": df.count()}
     kept = df
@@ -43,21 +47,21 @@ def curate(
         q = quality_score(kept, text_col=text_col, id_col=id_col).where(
             F.col("quality") >= min_quality
         )
-        kept = kept.join(q.select(id_col), id_col)
+        kept = kept.join(q.select(id_col), id_col).localCheckpoint()
         report["after_quality"] = kept.count()
 
     if gopher:
         g = gopher_filters(kept, text_col=text_col, id_col=id_col).where(
             F.col("keep") == 1
         )
-        kept = kept.join(g.select(id_col), id_col)
+        kept = kept.join(g.select(id_col), id_col).localCheckpoint()
         report["after_gopher"] = kept.count()
 
     if langs:
         lg = lang_guess(kept, text_col=text_col, id_col=id_col).where(
             F.col("lang_guess").isin(list(langs))
         )
-        kept = kept.join(lg.select(id_col), id_col)
+        kept = kept.join(lg.select(id_col), id_col).localCheckpoint()
         report["after_lang"] = kept.count()
 
     if dedup == "exact":
@@ -66,7 +70,7 @@ def curate(
         keep_ids = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
             F.col("keep_id").alias(id_col)
         )
-        kept = kept.join(keep_ids, id_col)
+        kept = kept.join(keep_ids, id_col).localCheckpoint()
         report["after_dedup"] = kept.count()
     elif dedup == "minhash":
         from kmtricks_spark.operators.dedup import (
@@ -78,7 +82,7 @@ def curate(
         sigs = minhash_signatures(kept.select(id_col, text_col), id_col=id_col,
                                   text_col=text_col)
         pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
-        kept = dedup_keep_set(kept, pairs.select("a", "b"), id_col=id_col)
+        kept = dedup_keep_set(kept, pairs.select("a", "b"), id_col=id_col).localCheckpoint()
         report["after_dedup"] = kept.count()
     elif dedup is not None:
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")

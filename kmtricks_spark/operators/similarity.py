@@ -117,14 +117,23 @@ def ivf_train(
     corpus; assignment stays distributed). No count() pre-pass: a
     sample(fraction)+limit plan short-circuits once the cap is hit
     (CollectLimit consumes partitions incrementally), so a 10^12-row
-    table is neither fully scanned nor fully collected. Small corpora
-    (sample undershoots the cap) fall back to a plain limit, which
-    collects every row up to the cap — identical to the old count()-based
-    path for corpora <= max_train_rows. Deterministic seeding."""
+    table is neither fully scanned nor fully collected. When the first
+    sample undershoots the cap, the sample size itself estimates n:
+    corpora that fit under the cap are collected whole via limit (no
+    bias — limit returns everything), and mid-size corpora (cap < n <
+    10x cap) get a second RANDOM sample at 2x-oversampled fraction —
+    never a partition-prefix limit, which would train centroids on a
+    biased head of an ordered table. Deterministic seeding."""
     sel = df.select(vec_col)
-    rows = sel.sample(fraction=0.1, seed=seed).limit(max_train_rows).collect()
+    first_frac = 0.1
+    rows = sel.sample(fraction=first_frac, seed=seed).limit(max_train_rows).collect()
     if len(rows) < max_train_rows:
-        rows = sel.limit(max_train_rows).collect()
+        n_est = len(rows) / first_frac
+        if n_est <= max_train_rows:
+            rows = sel.limit(max_train_rows).collect()  # whole corpus, unbiased
+        else:
+            frac = min(1.0, 2.0 * max_train_rows / n_est)
+            rows = sel.sample(fraction=frac, seed=seed).limit(max_train_rows).collect()
     sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
     if sample.shape[0] < n_lists:
         raise ValueError(

@@ -45,6 +45,13 @@ class Pipeline:
     ):
         if until is not None and until not in STAGES:
             raise ValueError(f"until must be one of {STAGES}")
+        if export_bf and cfg.bloom_mode == "bfc":
+            raise ValueError(
+                "--export-filters is only supported for bloom_mode bf/bft "
+                "(per-sample concat applies to bit slices, not packed "
+                "counting cells) — silently skipping the export would be "
+                "worse than refusing"
+            )
         if repart_from:
             # realpath at construction: a relative path stored in lineage
             # would resolve against a DIFFERENT cwd at combine time and
@@ -136,15 +143,25 @@ class Pipeline:
             write_stage(counts, self.run_dir, "counts", partition_by=["part_id"])
             self._finish("counts", read_stage(self.spark, self.run_dir, "counts"))
 
+    def _hist_bounds(self) -> tuple[int, int | None] | None:
+        """(lower, upper) when the histogram is bounded in ANY direction —
+        upper=0 means unbounded above, lower=1 is the no-op floor (counts
+        are >= hard_min >= 1); None when fully unbounded."""
+        lower, upper = self.cfg.hist_lower, self.cfg.hist_upper or None
+        if upper is None and lower <= 1:
+            return None
+        return lower, upper
+
     def stage_histogram(self):
         if not self._done("histogram"):
             counts = read_stage(self.spark, self.run_dir, "counts")
-            if self.cfg.hist_upper:
+            bounds = self._hist_bounds()
+            if bounds:
                 from kmtricks_spark.operators.count import histogram_oob
 
-                h = histogram(counts, self.cfg.hist_lower, self.cfg.hist_upper)
+                h = histogram(counts, bounds[0], bounds[1])
                 write_stage(
-                    histogram_oob(counts, self.cfg.hist_lower, self.cfg.hist_upper),
+                    histogram_oob(counts, bounds[0], bounds[1]),
                     self.run_dir,
                     "histogram_oob",
                 )
@@ -160,7 +177,7 @@ class Pipeline:
         if self.soft_min_quantile is not None:
             hist = read_stage(self.spark, self.run_dir, "histogram")
             oob = None
-            if cfg.hist_upper:  # bounded histogram: oob uniques raise the bar
+            if self._hist_bounds():  # bounded histogram: oob uniques raise the bar
                 oob = read_stage(self.spark, self.run_dir, "histogram_oob")
             th = thresholds_from_histogram(hist, self.soft_min_quantile, oob=oob)
             overrides = {r.sample_id: int(r.threshold) for r in th.collect()}

@@ -119,18 +119,35 @@ def write_bf_file_howdesbt(path: str, header: BFHeader, filter_bytes: bytes) -> 
 
 
 def read_bf_file_howdesbt(path: str) -> tuple[BFHeader, np.ndarray]:
+    """Raises ValueError (never bare AssertionError, which `python -O`
+    strips) on unfinished, truncated, foreign, or inconsistent files."""
     with open(path, "rb") as f:
         raw = f.read(HOWDE_HEADER_SIZE)
+        if len(raw) < HOWDE_HEADER_SIZE:
+            raise ValueError(
+                f"{path}: truncated howdesbt BF ({len(raw)} < {HOWDE_HEADER_SIZE} header bytes)"
+            )
         fields = struct.unpack(_HOWDE_FMT, raw)
         magic = fields[0]
         if magic == HOWDE_MAGIC_UN:
             raise ValueError(f"{path}: unfinished howdesbt BF (writer died mid-write)")
-        assert magic == HOWDE_MAGIC, f"bad howdesbt magic {magic:#x}"
+        if magic != HOWDE_MAGIC:
+            raise ValueError(f"{path}: bad howdesbt magic {magic:#x}")
         k, num_bits, num_bytes = fields[4], fields[9], fields[16]
-        assert num_bytes == num_bits // 8 + 8
-        (size_word,) = struct.unpack("<Q", f.read(8))
-        assert size_word == num_bits
-        bits = np.frombuffer(f.read(num_bits // 8), dtype=np.uint8)
+        if num_bytes != num_bits // 8 + 8:
+            raise ValueError(
+                f"{path}: inconsistent header (numBytes {num_bytes} != bits/8+8)"
+            )
+        word = f.read(8)
+        if len(word) < 8:
+            raise ValueError(f"{path}: truncated before the size word")
+        (size_word,) = struct.unpack("<Q", word)
+        if size_word != num_bits:
+            raise ValueError(f"{path}: size word {size_word} != numBits {num_bits}")
+        data = f.read(num_bits // 8)
+        if len(data) < num_bits // 8:
+            raise ValueError(f"{path}: truncated bit vector ({len(data)} bytes)")
+        bits = np.frombuffer(data, dtype=np.uint8)
     # partition layout is not part of the howdesbt header (the file is one
     # flat vector); nb_partitions/window_bits come back zeroed
     return BFHeader(k, num_bits, 0, 0, -1), bits

@@ -91,11 +91,14 @@ def test_pipeline_bloom_modes(spark, sf_dir, tmp_path):
             assert "packed" in t.columns
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _cli(args, timeout=300):
     env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
     r = subprocess.run(
         [sys.executable, "-m", "kmtricks_spark.cli", *args],
-        capture_output=True, text=True, timeout=timeout, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=_REPO,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     return [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
@@ -144,12 +147,12 @@ def test_spark_submit_pyfiles(tmp_path, sf_dir):
     submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     if not os.path.exists(submit):
         pytest.skip("spark-submit binary not on this host")
-    zip_path = "/root/repo/dist/kmtricks_spark.zip"
+    zip_path = os.path.join(_REPO, "dist", "kmtricks_spark.zip")
     if not os.path.exists(zip_path):
-        subprocess.run(["bash", "tools/make_pyfiles.sh"], cwd="/root/repo", check=True)
+        subprocess.run(["bash", "tools/make_pyfiles.sh"], cwd=_REPO, check=True)
     r = subprocess.run(
         [submit, "--master", "local[8]",
-         "--py-files", zip_path, "/root/repo/tools/submit_smoke.py",
+         "--py-files", zip_path, os.path.join(_REPO, "tools", "submit_smoke.py"),
          os.path.join(sf_dir, "documents.parquet"), str(tmp_path / "run")],
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
     )

@@ -17,11 +17,14 @@ from kmtricks_spark.plans.pipeline import Pipeline
 CFG = KmConfig(k=8, hard_min=2, soft_min=1, nb_partitions=8, bloom_bits=1 << 18)
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _cli(args, timeout=300, expect_fail=False):
     env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
     r = subprocess.run(
         [sys.executable, "-m", "kmtricks_spark.cli", *args],
-        capture_output=True, text=True, timeout=timeout, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=_REPO,
     )
     if expect_fail:
         assert r.returncode != 0, r.stdout[-500:]
@@ -240,6 +243,30 @@ def _local_idx(spark, kgram, w):
     return spark.sql(
         "SELECT pmod(xxhash64(?), ?)", args=[kgram, w]
     ).first()[0]
+
+
+def test_export_filters_refused_for_bfc(spark, sf_dir, tmp_path):
+    """--export-filters + bloom_mode=bfc is refused at construction (the
+    per-sample concat applies to bit slices only) — never silently
+    ignored."""
+    with pytest.raises(ValueError, match="export-filters"):
+        Pipeline(
+            spark, CFG.with_(bloom_mode="bfc"), str(tmp_path / "x"),
+            os.path.join(sf_dir, "documents.parquet"), export_bf="howdesbt",
+        )
+
+
+def test_hist_lower_only_bounds(spark, sf_dir, tmp_path):
+    """--hist-lower without --hist-upper must still bound the histogram
+    and write the oob table (upper counters identically zero)."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "lo")
+    Pipeline(spark, CFG.with_(hist_lower=3), rd, inp, until="histogram").run()
+    h = spark.read.parquet(os.path.join(rd, "histogram"))
+    assert h.agg(F.min("count")).first()[0] >= 3
+    oob = spark.read.parquet(os.path.join(rd, "histogram_oob"))
+    row = oob.agg(F.sum("oob_lu"), F.sum("oob_uu")).first()
+    assert row[0] > 0 and row[1] == 0
 
 
 def test_dup_clusters_transitive_chain(spark):
