@@ -506,6 +506,16 @@ def _q_dup_cluster_assign(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def _q_dup_span_stats(spark, sf_dir):
+    """Substring-level dup detection, hash-matched: strided 40-char span
+    hashes grouped corpus-wide, spans in >=2 distinct docs flagged,
+    per-doc rollup (Lee et al. 2022 primitive, strided form)."""
+    from kmtricks_spark.operators.dedup import dup_span_stats, duplicate_spans
+
+    spans = duplicate_spans(_dup_docs(spark, sf_dir), span=40, stride=10)
+    return dup_span_stats(spans)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     sigs = minhash_signatures(_dup_docs(spark, sf_dir))
     return minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
@@ -740,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation,
         "dup_cluster_assign": _q_dup_cluster_assign,
         "ivf_batch_topk": _q_ivf_batch_topk,
+        "dup_span_stats": _q_dup_span_stats,
         "bf_fpr_report": _q_bf_fpr,
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,
@@ -1128,6 +1139,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_exact_dup_pairs": """
         SELECT vec_id AS a, vec_id + 1000000 AS b
         FROM embeddings WHERE vec_id < 10
+        """,
+        # strided duplicate spans: same hash, same stride arithmetic
+        "dup_span_stats": """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ),
+        s AS (
+          SELECT doc_id, i AS pos, md5(substring(text, i, 40)) AS h
+          FROM all_docs,
+               LATERAL unnest(generate_series(1, length(text) - 39, 10)) t(i)
+          WHERE length(text) >= 40
+        ),
+        hot AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+               count(DISTINCT h)::BIGINT AS n_distinct_dup_spans,
+               min(pos)::INT AS min_pos
+        FROM s JOIN hot USING (h) GROUP BY 1
         """,
         # connected components of the exact-dup graph == md5 groups:
         # every pair edge comes from fp equality, so each component is

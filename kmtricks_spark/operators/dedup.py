@@ -407,3 +407,67 @@ def dedup_keep_set(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
         F.col("id").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the substring-level dedup
+    primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") in its Spark-friendly strided form: instead
+    of a global suffix array, every strided fixed-length span is hashed
+    (md5 — portable to any SQL oracle) and grouped across the corpus;
+    spans occurring in >= min_docs DISTINCT documents are flagged with
+    their positions. Doc-level dedup misses this case entirely: two
+    documents sharing one boilerplate paragraph are not near-dups, but
+    the shared paragraph is still memorization fuel.
+
+    Returns (doc_id, pos, span_hash) for every flagged occurrence
+    (1-based pos). Plan shape: explode -> ONE shuffle on span_hash
+    (uniform, no skew) for the distinct-doc count windowed over the same
+    partitioning -> filter; span/stride trade recall for cost (stride=1
+    is exhaustive, stride=span is disjoint-block screening).
+    """
+    c = F.col(text_col)
+    n = F.length(c) - (span - 1)
+    spans = df.where(n >= 1).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n, F.lit(stride)),
+                lambda i: F.md5(F.substring(c, i, span)),
+            )
+        ).alias("k", "span_hash"),
+    ).select(
+        "doc_id",
+        (F.col("k") * stride + 1).alias("pos"),
+        "span_hash",
+    )
+    # distinct-doc count via groupBy + semi-join, NOT a collect_set
+    # window: a boilerplate span shared by millions of docs would give
+    # every one of its rows a million-element set; the aggregate keeps
+    # per-hash state at one counter and both sides shuffle on the same
+    # uniform key
+    hot = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    return spans.join(hot, "span_hash", "left_semi").select("doc_id", "pos", "span_hash")
+
+
+def dup_span_stats(spans_flagged: DataFrame) -> DataFrame:
+    """Per-doc rollup of duplicate_spans: (doc_id, n_dup_spans,
+    n_distinct_dup_spans, min_pos) — the screening signal a curation
+    pass thresholds on."""
+    return spans_flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.count_distinct("span_hash").alias("n_distinct_dup_spans"),
+        F.min("pos").alias("min_pos"),
+    )

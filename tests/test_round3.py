@@ -353,6 +353,34 @@ def test_cli_curate_minhash(tmp_path, sf_dir):
     assert s.read.parquet(out).count() == rec["after_dedup"]
 
 
+def test_duplicate_spans_shared_infix(spark):
+    """Docs sharing only an infix paragraph are NOT doc-level dups, but
+    the shared region's spans must be flagged — in both docs, at the
+    right positions — and non-shared regions must not be."""
+    from kmtricks_spark.operators.dedup import dup_span_stats, duplicate_spans
+
+    shared = "x" * 55  # > span chars, identical across docs
+    d1 = "a" * 30 + shared + "b" * 30
+    d2 = "c" * 30 + shared + "d" * 30
+    d3 = "e" * 120  # no overlap with anything
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    got = duplicate_spans(df, span=20, stride=5, min_docs=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.pos)
+    assert set(by_doc) == {1, 2}  # doc 3 clean
+    # shared block occupies chars 31..85 (1-based); a flagged span must
+    # start within it (identical context => identical 20-gram)
+    for doc, positions in by_doc.items():
+        assert positions, doc
+        assert all(31 <= p and p + 19 <= 85 for p in positions), (doc, positions)
+    # same spans flagged at the same offsets in both docs
+    assert by_doc[1] == by_doc[2]
+    stats = {r.doc_id: r.n_dup_spans for r in dup_span_stats(
+        duplicate_spans(df, span=20, stride=5, min_docs=2)).collect()}
+    assert stats[1] == len(by_doc[1]) and stats[2] == len(by_doc[2])
+
+
 def test_stateful_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
     """CMS payload as Spark-managed state: the final per-probe estimates
     EQUAL the single-batch CMS exactly (cell-sum merge is associative,
