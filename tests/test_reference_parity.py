@@ -97,3 +97,34 @@ def test_canonicalization_order_is_2bit_not_ascii(spark):
     assert got["GGG"] == "CCC"
     assert got["ACG"] == "ACG"   # revcomp CGT; enc(ACG)=013 <= enc(CGT)=132
     assert got["CGT"] == "ACG"
+
+
+def test_histogram_reference_golden(spark):
+    """Reproduces the reference's OWN histogram golden
+    (tests/histogram_test.cpp:8-37): counts {1,1,3,9,1,2,2,2,9,5} with
+    bounds [1,10] give unique vector {3,3,1,0,1,0,0,0,2,0}, total vector
+    {3,6,3,0,5,0,0,0,18,0}, and all four oob counters zero. A second
+    corpus with out-of-bound counts pins the oob arithmetic
+    (histogram.hpp:55-70 inc())."""
+    from kmtricks_spark.operators.count import histogram, histogram_oob
+
+    v = [1, 1, 3, 9, 1, 2, 2, 2, 9, 5]
+    r = [3, 3, 1, 0, 1, 0, 0, 0, 2, 0]
+    rn = [3, 6, 3, 0, 5, 0, 0, 0, 18, 0]
+    counts = spark.createDataFrame(
+        [("s", f"k{i}", c) for i, c in enumerate(v)], ["sample_id", "kgram", "count"]
+    )
+    got = {row["count"]: (row.n_unique, row.n_total)
+           for row in histogram(counts, 1, 10).collect()}
+    for c in range(1, 11):
+        assert got.get(c, (0, 0)) == (r[c - 1], rn[c - 1]), c
+    oob = histogram_oob(counts, 1, 10).collect()[0]
+    assert (oob.oob_lu, oob.oob_ln, oob.oob_uu, oob.oob_un) == (0, 0, 0, 0)
+    # oob case: reference inc() semantics for counts outside [lower,upper]
+    v2 = v + [12, 15, 12]
+    counts2 = spark.createDataFrame(
+        [("s", f"k{i}", c) for i, c in enumerate(v2)], ["sample_id", "kgram", "count"]
+    )
+    assert {row["count"] for row in histogram(counts2, 1, 10).collect()} <= set(range(1, 11))
+    o2 = histogram_oob(counts2, 1, 10).collect()[0]
+    assert (o2.oob_lu, o2.oob_ln, o2.oob_uu, o2.oob_un) == (0, 0, 3, 39)
