@@ -165,6 +165,79 @@ def read_bf_file(path: str) -> tuple[BFHeader, np.ndarray]:
     return BFHeader(k, num_bits, nb_partitions, window_bits, n_set), bits
 
 
+def export_filters_from_slices(
+    slices_df, out_dir: str, cfg, bf_format: str = "kmbf"
+) -> list[str]:
+    """Stream per-sample BF files DIRECTLY from the slices table,
+    without ever materializing a whole filter as one byte-array value:
+    slices arrive ordered by (sample_id, part_id) via toLocalIterator
+    (Spark sorts; the driver holds ONE window at a time) and each file
+    is written window-by-window with zero-fill for absent partitions —
+    the same ordered-concat the reference does with file descriptors
+    (howde_utils.hpp:148-180). This is the artifact path that survives
+    bloom_bits where a concatenated filter column would exceed the JVM's
+    2 GB single-value limit (e.g. 2^34 bits = 2 GiB per sample)."""
+    import os
+
+    if bf_format not in ("kmbf", "howdesbt"):
+        raise ValueError(f"bf_format must be kmbf|howdesbt, got {bf_format!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "kmbf" if bf_format == "kmbf" else "bf"
+    P, wb = cfg.nb_partitions, cfg.window_bytes
+    num_bits = cfg.window_bits * P
+    zero = bytes(wb)
+    paths: list[str] = []
+    cur = None  # (sample_id, file handle, next part to write, n_set)
+
+    def open_file(sample):
+        p = os.path.join(out_dir, f"{sample}.{ext}")
+        f = open(p, "wb")
+        # placeholder header; finalized once n_set is known (the
+        # reference's two-phase protocol — howdesbt mode stamps the
+        # UNFINISHED magic here)
+        if bf_format == "kmbf":
+            f.write(MAGIC + struct.pack("<IQQQQ", VERSION, cfg.k, num_bits,
+                                        (P << 32) | cfg.window_bits // 64, 0))
+        else:
+            un = bytearray(HOWDE_HEADER_SIZE)
+            ps = struct.calcsize(_HOWDE_PREFIX_FMT)
+            un[:ps] = struct.pack(_HOWDE_PREFIX_FMT, HOWDE_MAGIC_UN, ps, 0)
+            f.write(bytes(un))
+            f.write(struct.pack("<Q", num_bits))
+        return p, f
+
+    def close_file():
+        sample, f, next_part, n_set = cur
+        for _ in range(next_part, P):  # trailing zero windows
+            f.write(zero)
+        f.seek(0)
+        if bf_format == "kmbf":
+            f.write(MAGIC + struct.pack("<IQQQQ", VERSION, cfg.k, num_bits,
+                                        (P << 32) | cfg.window_bits // 64, n_set))
+        else:
+            f.write(_howde_header_bytes(cfg.k, num_bits))
+        f.close()
+
+    it = slices_df.select("sample_id", "part_id", "n_set", "bitmap").orderBy(
+        "sample_id", "part_id"
+    ).toLocalIterator()
+    for row in it:
+        if cur is None or row["sample_id"] != cur[0]:
+            if cur is not None:
+                close_file()
+            p, f = open_file(row["sample_id"])
+            paths.append(p)
+            cur = (row["sample_id"], f, 0, 0)
+        sample, f, next_part, n_set = cur
+        for _ in range(next_part, row["part_id"]):  # gap zero windows
+            f.write(zero)
+        f.write(bytes(row["bitmap"]))
+        cur = (sample, f, row["part_id"] + 1, n_set + int(row["n_set"]))
+    if cur is not None:
+        close_file()
+    return paths
+
+
 def export_filters(filters_df, out_dir: str, cfg, bf_format: str = "kmbf") -> list[str]:
     """One standalone BF file per sample from the bloom_filters table
     (sample_id, total_set, filter) — the reference's per-sample filter

@@ -445,6 +445,33 @@ def test_stateful_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
         assert r.cms_est >= exact.get((r.sample_id, r.probe_hash), 0), r
 
 
+def test_export_from_slices_byte_equal_to_concat_path(spark, sf_dir, tmp_path):
+    """The streaming slice-by-slice export (no whole-filter byte array —
+    the path that survives >2GB filters) must emit byte-identical files
+    to the concat-table export, both formats, including zero-fill for
+    absent partitions."""
+    from kmtricks_spark.operators.bloom_stage import bf_slices, hash_counts
+    from kmtricks_spark.operators.count import count_kgrams
+    from kmtricks_spark.sources.howde import export_filters, export_filters_from_slices
+    from kmtricks_spark.operators.bloom_stage import bf_concat
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    counts = count_kgrams(spark.read.parquet(inp), CFG)
+    # drop one partition for one sample -> a real zero-fill gap
+    s0 = counts.select("sample_id").orderBy("sample_id").first()[0]
+    counts = counts.where(~((F.col("sample_id") == s0) & (F.col("part_id") == 3)))
+    slices = bf_slices(hash_counts(counts, CFG), CFG).cache()
+    filters = bf_concat(slices, CFG)
+    for fmt in ("kmbf", "howdesbt"):
+        a_dir, b_dir = str(tmp_path / f"a_{fmt}"), str(tmp_path / f"b_{fmt}")
+        pa = sorted(export_filters(filters, a_dir, CFG, bf_format=fmt))
+        pb = sorted(export_filters_from_slices(slices, b_dir, CFG, bf_format=fmt))
+        assert [os.path.basename(x) for x in pa] == [os.path.basename(x) for x in pb]
+        for x, y in zip(pa, pb):
+            assert open(x, "rb").read() == open(y, "rb").read(), (fmt, x)
+    slices.unpersist()
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
