@@ -294,6 +294,51 @@ def test_dup_clusters_nonconvergence_raises(spark):
     assert all(r.cluster_id == 0 for r in labels) and len(labels) == 31
 
 
+def test_dup_clusters_random_graphs_vs_union_find(spark):
+    """20 random graphs (disjoint id spaces, one Spark run) against a
+    pure-Python union-find reference: every node's cluster_id must be
+    the min id of its connected component, exactly."""
+    import numpy as np
+
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(7)
+    edges = []
+    for g in range(20):
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(1, 60))
+        base = g * 1000
+        for _ in range(m):
+            a, b = (int(x) for x in rng.integers(0, n, 2))
+            if a != b:
+                edges.append((base + min(a, b), base + max(a, b)))
+    pairs = spark.createDataFrame(sorted(set(edges)), ["a", "b"])
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs, max_iter=80).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    expect = {}
+    for members in comp.values():
+        lo = min(members)
+        for node in members:
+            expect[node] = lo
+    assert got == expect
+
+
 def test_dedup_keep_set(spark):
     """Keep = min of every cluster + all unpaired docs."""
     from kmtricks_spark.operators.dedup import dedup_keep_set
