@@ -483,6 +483,62 @@ def _dup_docs(spark, sf_dir):
     return d.unionByName(dup)
 
 
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling, hash-matched: the EXACT selected id
+    set (not just its size) — the property that makes pipeline runs
+    reproducible across clusters/retries, which rand()-based sample()
+    does not give."""
+    from kmtricks_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.3, salt="s1").select("doc_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Training-mix sampling: per-language keep fractions, broadcast
+    thresholds, exact selected set hash-matched."""
+    from kmtricks_spark.operators.sampling import stratified_hash_sample
+
+    frs = {"en": 1.0, "de": 0.5, "fr": 0.2}
+    out = stratified_hash_sample(
+        _docs(spark, sf_dir), frs, strata_col="lang", salt="mix", default_fraction=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_group_sample(spark, sf_dir):
+    """Exactly-k-per-group deterministic sample (reservoir replacement):
+    7 docs per language by md5 rank."""
+    from kmtricks_spark.operators.sampling import deterministic_group_sample
+
+    return deterministic_group_sample(
+        _docs(spark, sf_dir), k=7, strata_col="lang"
+    ).select("lang", "doc_id")
+
+
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization over deterministically synthesized messy
+    URLs (mixed-case scheme/host, default ports, trailing slashes,
+    utm params, unsorted query, fragments — keyed off doc_id). The
+    oracle states the EXPECTED canonical form from the same arithmetic,
+    so every normalization rule is value-pinned without re-implementing
+    the regex pipeline in SQL."""
+    from kmtricks_spark.functions.url import url_normalize
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = lambda n: (F.col("doc_id") % n)  # noqa: E731
+    url = F.concat(
+        F.lit("HTTP://Example"), m(7).cast("string"), F.lit(".COM"),
+        F.when(m(4) == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/A/b"),
+        F.when(m(3) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m(2) == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("?b=2&a=1")),
+        F.when(m(5) == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", url.alias("url_raw"), url_normalize(url).alias("url_norm")
+    )
+
+
 def _q_dup_cluster_assign(spark, sf_dir):
     """Near-dup clustering (connected components over dup pairs),
     hash-matched: exact-duplicate edges from md5-fingerprint equality
@@ -751,6 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_assign": _q_dup_cluster_assign,
         "ivf_batch_topk": _q_ivf_batch_topk,
         "dup_span_stats": _q_dup_span_stats,
+        "hash_sample_docs": _q_hash_sample,
+        "stratified_sample_docs": _q_stratified_sample,
+        "group_sample_docs": _q_group_sample,
+        "url_normalize": _q_url_normalize,
         "bf_fpr_report": _q_bf_fpr,
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,
@@ -1139,6 +1199,44 @@ def oracle_sql() -> dict[str, str]:
         "ann_exact_dup_pairs": """
         SELECT vec_id AS a, vec_id + 1000000 AS b
         FROM embeddings WHERE vec_id < 10
+        """,
+        # deterministic hash sampling: lexicographic compare of fixed-
+        # width lowercase hex == numeric compare; thresholds precomputed
+        # by frac_to_hex_threshold (0.3 -> 4ccccccc etc.)
+        "hash_sample_docs": """
+        SELECT doc_id FROM documents
+        WHERE substring(md5(doc_id::VARCHAR || 's1'), 1, 8) < '4ccccccc'
+        """,
+        "stratified_sample_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(doc_id::VARCHAR || 'mix'), 1, 8) <
+          CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '80000000'
+                    WHEN 'fr' THEN '33333333' ELSE '0ccccccc' END
+        """,
+        "group_sample_docs": """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(doc_id::VARCHAR || ''), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 7
+        """,
+        # the oracle states the EXPECTED canonical URL from the same
+        # doc_id arithmetic — every rule (lowercase host, port strip,
+        # trailing slash, utm drop, param sort, fragment drop) is
+        # value-pinned without duplicating the regex pipeline
+        "url_normalize": """
+        SELECT doc_id,
+               'HTTP://Example' || (doc_id % 7)::VARCHAR || '.COM'
+                 || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+                 || '/A/b'
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                         ELSE '?b=2&a=1' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url_raw,
+               'http://example' || (doc_id % 7)::VARCHAR || '.com/A/b?a=1&b=2'
+                 AS url_norm
+        FROM documents
         """,
         # strided duplicate spans: same hash, same stride arithmetic
         "dup_span_stats": """

@@ -1,0 +1,89 @@
+"""Deterministic sampling for reproducible training-data pipelines.
+
+Production corpus pipelines sample by KEY HASH, not RNG: the same
+document makes the same keep/drop decision on every run, on any cluster
+layout, under retries and resumes — `df.sample()` gives none of that
+(fraction sampling is partition-layout-dependent). The selection rule is
+a string comparison on the first 8 md5 hex chars of the key against a
+fixed-width hex threshold: lexicographic order on fixed-width lowercase
+hex IS numeric order, so the predicate runs verbatim in any SQL engine
+(no conv()/hex-cast portability traps) and the driver's DuckDB oracle
+pins the exact selected set, not just its size.
+
+All three operators are pure Column expressions / window functions —
+no UDFs, fully codegen'd; the only shuffle is the one the per-group
+variant inherently needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frac_to_hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> 8-hex-char threshold; 'g' for >= 1.0 (every
+    hex digit sorts below 'g', so the predicate keeps everything —
+    '100000000' would NOT: '9 chars' compares lexicographically)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (1 << 32)), "08x")
+
+
+def _key_hex(key_col: str, salt: str) -> "F.Column":
+    return F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep rows whose 8-hex key digest < threshold(fraction).
+    Deterministic, layout-independent, and consistent across tables
+    sharing the key (sampling docs and their embeddings with the same
+    key+salt keeps them aligned). Change `salt` for an independent draw."""
+    return df.where(_key_hex(key_col, salt) < F.lit(frac_to_hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator
+    (e.g. keep 100% of en, 30% of de, drop the rest). Per-stratum
+    thresholds ride a broadcast join (data as data, never a literal CASE
+    chain over thousands of strata)."""
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(k, frac_to_hex_threshold(v)) for k, v in fractions.items()],
+        [strata_col, "__th"],
+    )
+    j = df.join(F.broadcast(th), strata_col, "left")
+    return (
+        j.withColumn(
+            "__th", F.coalesce("__th", F.lit(frac_to_hex_threshold(default_fraction)))
+        )
+        .where(_key_hex(key_col, salt) < F.col("__th"))
+        .drop("__th")
+    )
+
+
+def deterministic_group_sample(
+    df: DataFrame, k: int, strata_col: str = "lang", key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by key-hash rank —
+    the deterministic replacement for per-group reservoir sampling.
+    One shuffle on the stratum (the window); ties impossible for
+    distinct keys (hash then key breaks them)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

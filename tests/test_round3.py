@@ -398,6 +398,68 @@ def test_cli_curate_minhash(tmp_path, sf_dir):
     assert s.read.parquet(out).count() == rec["after_dedup"]
 
 
+def test_hash_sampling_properties(spark, sf_dir):
+    """Determinism across calls, key-alignment across tables, salt
+    independence, fraction monotonicity, exact-k per group."""
+    from kmtricks_spark.operators.sampling import (
+        deterministic_group_sample,
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = {r.doc_id for r in hash_sample(docs, 0.3, salt="x").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.3, salt="x").select("doc_id").collect()}
+    assert a == b  # deterministic
+    # alignment: sampling any table by the same key+salt keeps the same ids
+    ids_only = docs.select("doc_id", "lang")
+    c = {r.doc_id for r in hash_sample(ids_only, 0.3, salt="x").collect()}
+    assert a == c
+    # monotone in fraction: smaller fraction is a subset
+    small = {r.doc_id for r in hash_sample(docs, 0.1, salt="x").select("doc_id").collect()}
+    assert small <= a
+    # independent draw under a different salt (overwhelmingly different)
+    d = {r.doc_id for r in hash_sample(docs, 0.3, salt="y").select("doc_id").collect()}
+    assert a != d
+    # stratified: a 0-fraction stratum vanishes, a 1.0 stratum is complete
+    out = stratified_hash_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_fraction=0.0
+    )
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert by_lang == {"en": n_en}
+    # exactly k per group (or the whole group when smaller)
+    g = deterministic_group_sample(docs, k=7, strata_col="lang")
+    sizes = {r.lang: r.n for r in g.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 7 for v in sizes.values())
+    tiny = deterministic_group_sample(docs.limit(3), k=7, strata_col="lang")
+    assert tiny.count() == 3
+
+
+def test_url_normalize_and_dedup(spark):
+    from kmtricks_spark.functions.url import url_dedup, url_normalize
+
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/a/b/?b=2&utm_source=t&a=1#frag", "2024-01-01"),
+        (2, "http://www.ex.com/a/b?a=1&b=2", "2024-02-01"),       # same canonical, newer
+        (3, "https://ex.com:443/a", "2024-01-01"),                 # 443 stripped
+        (4, "https://ex.com:8443/a", "2024-01-01"),                # non-default kept
+        (5, "http://other.com", "2024-01-01"),                     # bare root
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+    norm = {r.doc_id: r.n for r in df.select(
+        "doc_id", url_normalize(F.col("url")).alias("n")).collect()}
+    assert norm[1] == "http://www.ex.com/a/b?a=1&b=2"
+    assert norm[1] == norm[2]
+    assert norm[3] == "https://ex.com/a"
+    assert norm[4] == "https://ex.com:8443/a"
+    assert norm[5] == "http://other.com"
+    d = url_dedup(df)
+    got = {r.url_norm: (r.url, r.n_fetches) for r in d.collect()}
+    assert got[norm[1]] == ("http://www.ex.com/a/b?a=1&b=2", 2)  # newest fetch wins
+    assert len(got) == 4
+
+
 def test_duplicate_spans_shared_infix(spark):
     """Docs sharing only an infix paragraph are NOT doc-level dups, but
     the shared region's spans must be flagged — in both docs, at the
