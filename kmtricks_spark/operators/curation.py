@@ -79,8 +79,13 @@ def curate(
             minhash_signatures,
         )
 
-        sigs = minhash_signatures(kept.select(id_col, text_col), id_col=id_col,
-                                  text_col=text_col)
+        # spread before the signature mapInPandas: a freshly-scanned
+        # parquet often has ~1 row group and would compute every
+        # signature on one core
+        src = kept.select(id_col, text_col).repartition(
+            kept.sparkSession.sparkContext.defaultParallelism
+        )
+        sigs = minhash_signatures(src, id_col=id_col, text_col=text_col)
         pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
         kept = dedup_keep_set(kept, pairs.select("a", "b"), id_col=id_col).localCheckpoint()
         report["after_dedup"] = kept.count()
