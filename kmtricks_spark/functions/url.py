@@ -38,7 +38,10 @@ def url_normalize(url: Column) -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # prefix excludes both '#' and '?': the capture anchors at the FIRST
+    # '?' and only if it precedes any '#' — a '?' inside the fragment
+    # ('/a#sec?b=2') must not be parsed as a query string
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     keep = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

@@ -428,11 +428,17 @@ def duplicate_spans(
     the shared paragraph is still memorization fuel.
 
     Returns (doc_id, pos, span_hash) for every flagged occurrence
-    (1-based pos). Plan shape: explode -> ONE shuffle on span_hash
-    (uniform, no skew) for the distinct-doc count windowed over the same
-    partitioning -> filter; span/stride trade recall for cost (stride=1
-    is exhaustive, stride=span is disjoint-block screening).
+    (1-based pos). Plan shape: explode -> spans PERSISTED (memory+disk),
+    then two shuffles on the uniform span_hash — the distinct-doc
+    aggregate and the semi-join probe. Without the persist the two
+    branches cannot share an exchange (different children) and the
+    scan + one md5 per strided span would execute twice; the cache
+    stays attached to the returned frame's lineage, so call
+    `spark.catalog.clearCache()` between unrelated corpora if memory
+    matters. span/stride trade recall for cost (stride=1 is exhaustive,
+    stride=span is disjoint-block screening).
     """
+    from pyspark.storagelevel import StorageLevel
     c = F.col(text_col)
     n = F.length(c) - (span - 1)
     spans = df.where(n >= 1).select(
@@ -447,7 +453,7 @@ def duplicate_spans(
         "doc_id",
         (F.col("k") * stride + 1).alias("pos"),
         "span_hash",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # distinct-doc count via groupBy + semi-join, NOT a collect_set
     # window: a boilerplate span shared by millions of docs would give
     # every one of its rows a million-element set; the aggregate keeps

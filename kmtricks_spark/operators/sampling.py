@@ -32,8 +32,18 @@ def frac_to_hex_threshold(fraction: float) -> str:
     return format(int(fraction * (1 << 32)), "08x")
 
 
+_NULL_KEY = "\x00null"
+
+
 def _key_hex(key_col: str, salt: str) -> "F.Column":
-    return F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8)
+    """NULL keys hash as a fixed sentinel instead of propagating NULL —
+    a NULL predicate would silently DROP null-key rows at every
+    fraction, including 1.0 where the contract is 'keep everything'.
+    With the sentinel, all null-key rows make one shared deterministic
+    keep/drop decision (documented; give them real keys for per-row
+    granularity)."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+    return F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8)
 
 
 def hash_sample(
@@ -58,10 +68,17 @@ def stratified_hash_sample(
     (e.g. keep 100% of en, 30% of de, drop the rest). Per-stratum
     thresholds ride a broadcast join (data as data, never a literal CASE
     chain over thousands of strata)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     spark = df.sparkSession
+    schema = StructType(  # explicit: an empty fractions dict (pure
+        [  # default-rate sampling) cannot infer a schema from no rows
+            StructField(strata_col, df.schema[strata_col].dataType),
+            StructField("__th", StringType()),
+        ]
+    )
     th = spark.createDataFrame(
-        [(k, frac_to_hex_threshold(v)) for k, v in fractions.items()],
-        [strata_col, "__th"],
+        [(k, frac_to_hex_threshold(v)) for k, v in fractions.items()], schema
     )
     j = df.join(F.broadcast(th), strata_col, "left")
     return (
@@ -80,7 +97,9 @@ def deterministic_group_sample(
     the deterministic replacement for per-group reservoir sampling.
     One shuffle on the stratum (the window); ties impossible for
     distinct keys (hash then key breaks them)."""
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    h = F.md5(
+        F.concat(F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY)), F.lit(salt))
+    )
     w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

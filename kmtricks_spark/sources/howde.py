@@ -28,6 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 
 MAGIC = b"KMBF0001"
+MAGIC_UN = b"KMBF!UNF"  # placeholder magic while a (streaming) write is in flight
 VERSION = 1
 
 # --- howdesbt bffileheader parameters (howde_utils.hpp:56-86) ---------
@@ -154,14 +155,26 @@ def read_bf_file_howdesbt(path: str) -> tuple[BFHeader, np.ndarray]:
 
 
 def read_bf_file(path: str) -> tuple[BFHeader, np.ndarray]:
+    """Raises ValueError (not bare asserts, which `python -O` strips) on
+    unfinished, truncated, or foreign files."""
     with open(path, "rb") as f:
         magic = f.read(8)
-        assert magic == MAGIC, f"bad magic {magic!r}"
-        version, k, num_bits, packed, n_set = struct.unpack("<IQQQQ", f.read(36))
-        assert version == VERSION
+        if magic == MAGIC_UN:
+            raise ValueError(f"{path}: unfinished KMBF file (writer died mid-write)")
+        if magic != MAGIC:
+            raise ValueError(f"{path}: bad magic {magic!r}")
+        hdr = f.read(36)
+        if len(hdr) < 36:
+            raise ValueError(f"{path}: truncated KMBF header")
+        version, k, num_bits, packed, n_set = struct.unpack("<IQQQQ", hdr)
+        if version != VERSION:
+            raise ValueError(f"{path}: unsupported KMBF version {version}")
         nb_partitions = packed >> 32
         window_bits = (packed & 0xFFFFFFFF) * 64
-        bits = np.frombuffer(f.read(num_bits // 8), dtype=np.uint8)
+        data = f.read(num_bits // 8)
+        if len(data) < num_bits // 8:
+            raise ValueError(f"{path}: truncated bit vector ({len(data)} bytes)")
+        bits = np.frombuffer(data, dtype=np.uint8)
     return BFHeader(k, num_bits, nb_partitions, window_bits, n_set), bits
 
 
@@ -192,12 +205,14 @@ def export_filters_from_slices(
     def open_file(sample):
         p = os.path.join(out_dir, f"{sample}.{ext}")
         f = open(p, "wb")
-        # placeholder header; finalized once n_set is known (the
-        # reference's two-phase protocol — howdesbt mode stamps the
-        # UNFINISHED magic here)
+        # placeholder header stamped with the UNFINISHED magic in BOTH
+        # formats (two-phase protocol): the streaming write window spans
+        # many executor fetches, and a mid-stream crash must leave a
+        # file every reader REFUSES — a valid-looking magic with a
+        # truncated vector would be consumed silently
         if bf_format == "kmbf":
-            f.write(MAGIC + struct.pack("<IQQQQ", VERSION, cfg.k, num_bits,
-                                        (P << 32) | cfg.window_bits // 64, 0))
+            f.write(MAGIC_UN + struct.pack("<IQQQQ", VERSION, cfg.k, num_bits,
+                                           (P << 32) | cfg.window_bits // 64, 0))
         else:
             un = bytearray(HOWDE_HEADER_SIZE)
             ps = struct.calcsize(_HOWDE_PREFIX_FMT)
@@ -221,20 +236,26 @@ def export_filters_from_slices(
     it = slices_df.select("sample_id", "part_id", "n_set", "bitmap").orderBy(
         "sample_id", "part_id"
     ).toLocalIterator()
-    for row in it:
-        if cur is None or row["sample_id"] != cur[0]:
-            if cur is not None:
-                close_file()
-            p, f = open_file(row["sample_id"])
-            paths.append(p)
-            cur = (row["sample_id"], f, 0, 0)
-        sample, f, next_part, n_set = cur
-        for _ in range(next_part, row["part_id"]):  # gap zero windows
-            f.write(zero)
-        f.write(bytes(row["bitmap"]))
-        cur = (sample, f, row["part_id"] + 1, n_set + int(row["n_set"]))
-    if cur is not None:
-        close_file()
+    try:
+        for row in it:
+            if cur is None or row["sample_id"] != cur[0]:
+                if cur is not None:
+                    close_file()
+                    cur = None
+                p, f = open_file(row["sample_id"])
+                paths.append(p)
+                cur = (row["sample_id"], f, 0, 0)
+            sample, f, next_part, n_set = cur
+            for _ in range(next_part, row["part_id"]):  # gap zero windows
+                f.write(zero)
+            f.write(bytes(row["bitmap"]))
+            cur = (sample, f, row["part_id"] + 1, n_set + int(row["n_set"]))
+        if cur is not None:
+            close_file()
+            cur = None
+    finally:
+        if cur is not None:  # crashed mid-file: close the handle, leave
+            cur[1].close()   # the UNFINISHED magic for readers to refuse
     return paths
 
 

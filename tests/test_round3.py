@@ -436,6 +436,58 @@ def test_hash_sampling_properties(spark, sf_dir):
     assert tiny.count() == 3
 
 
+def test_sampling_null_keys_and_empty_fractions(spark):
+    """Review regressions: fraction=1.0 keeps null-key rows (sentinel
+    hash, not NULL predicate drop); empty fractions dict == pure
+    default-rate sampling, no schema-inference crash."""
+    from kmtricks_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (None, "de"), (4, "de")],
+        "doc_id long, lang string",
+    )
+    assert hash_sample(df, 1.0).count() == 4  # identity incl. null keys
+    assert hash_sample(df, 0.0).count() == 0
+    out = stratified_hash_sample(df, {}, strata_col="lang", default_fraction=1.0)
+    assert out.count() == 4
+
+
+def test_url_fragment_question_mark(spark):
+    """A '?' inside the fragment is NOT a query string."""
+    from kmtricks_spark.functions.url import url_normalize
+
+    df = spark.createDataFrame(
+        [(1, "http://ex.com/a#sec?b=2"), (2, "http://ex.com/a#top"),
+         (3, "http://ex.com/a?b=2#sec")],
+        ["doc_id", "url"],
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", url_normalize(F.col("url")).alias("n")).collect()}
+    assert got[1] == "http://ex.com/a" == got[2]
+    assert got[3] == "http://ex.com/a?b=2"
+
+
+def test_kmbf_unfinished_and_truncated_refused(tmp_path):
+    """Streaming kmbf placeholder carries the UNFINISHED magic; readers
+    refuse it and refuse truncated vectors (no silent short frombuffer)."""
+    import struct
+
+    from kmtricks_spark.sources.howde import MAGIC, MAGIC_UN, VERSION, read_bf_file
+
+    p = str(tmp_path / "dead.kmbf")
+    with open(p, "wb") as f:  # as a crashed streaming writer leaves it
+        f.write(MAGIC_UN + struct.pack("<IQQQQ", VERSION, 8, 512, (4 << 32) | 2, 0))
+        f.write(bytes(16))
+    with pytest.raises(ValueError, match="unfinished"):
+        read_bf_file(p)
+    p2 = str(tmp_path / "short.kmbf")
+    with open(p2, "wb") as f:  # finished magic but truncated vector
+        f.write(MAGIC + struct.pack("<IQQQQ", VERSION, 8, 512, (4 << 32) | 2, 0))
+        f.write(bytes(16))
+    with pytest.raises(ValueError, match="truncated"):
+        read_bf_file(p2)
+
+
 def test_url_normalize_and_dedup(spark):
     from kmtricks_spark.functions.url import url_dedup, url_normalize
 
