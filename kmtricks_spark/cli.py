@@ -129,6 +129,16 @@ def main(argv=None):
     filt.add_argument("--output", required=True)
     filt.add_argument("--cores", type=int, default=None)
 
+    cl = sub.add_parser("clean", help="delete consumed stage tables "
+                        "(O5: the reference's --clear / Eraser, utils.hpp:250-309)")
+    cl.add_argument("--run-dir", required=True)
+    cl.add_argument("--stages", default="counts",
+                    help="comma-separated stage tables to delete; only clean "
+                         "stages whose consumers have completed")
+    cl.add_argument("--keep-lineage", action="store_true",
+                    help="keep the lineage JSON so resume still skips the "
+                         "stage (data gone, provenance kept)")
+
     cur = sub.add_parser("curate", help="quality/rules/lang/dedup funnel -> curated parquet")
     cur.add_argument("--input", required=True)
     cur.add_argument("--output", required=True)
@@ -144,6 +154,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.cmd == "infos":
         return _infos(args.run_dir)
+    if args.cmd == "clean":
+        return _clean(args)
     spark = get_spark(cores=args.cores)
     try:
         if getattr(args, "nb_partitions", None) == 0:
@@ -221,6 +233,37 @@ def main(argv=None):
         return 0
     finally:
         spark.stop()
+
+
+def _clean(args) -> int:
+    """O5 analogue (utils.hpp:250-309 Eraser / --keep-tmp/--clear): drop
+    consumed stage tables to reclaim space once their consumers are
+    complete. Pure filesystem — no Spark session."""
+    import os
+    import shutil
+
+    removed = []
+    for stage in args.stages.split(","):
+        stage = stage.strip()
+        d = os.path.join(args.run_dir, stage)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(stage)
+        lj = os.path.join(args.run_dir, "_lineage", f"{stage}.json")
+        if args.keep_lineage:
+            # mark cleaned: resume treats the stage complete (Eraser
+            # semantics — consumed data reclaimed, never regenerated)
+            if os.path.exists(lj):
+                with open(lj) as f:
+                    rec = json.load(f)
+                rec["cleaned"] = True
+                with open(lj, "w") as f:
+                    json.dump(rec, f, indent=1, default=str)
+        elif os.path.exists(lj):
+            os.remove(lj)
+    print(json.dumps({"clean": "done", "removed": removed,
+                      "keep_lineage": bool(args.keep_lineage)}))
+    return 0
 
 
 def _infos(run_dir: str) -> int:

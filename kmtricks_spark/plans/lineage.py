@@ -78,12 +78,18 @@ def read_lineage(run_dir: str, stage: str) -> dict | None:
 def stage_complete(
     spark: SparkSession, run_dir: str, stage: str, params: dict[str, Any]
 ) -> bool:
-    """Complete = lineage exists, params match, table readable."""
+    """Complete = lineage exists, params match, table readable — OR the
+    stage was explicitly cleaned with its lineage kept (`cli.py clean
+    --keep-lineage`, the reference's Eraser semantics: consumed stage
+    files are reclaimed and NOT regenerated on resume; a downstream
+    stage that still needs the table fails loudly at read)."""
     rec = read_lineage(run_dir, stage)
     if rec is None:
         return False
     if {k: str(v) for k, v in rec["params"].items()} != {k: str(v) for k, v in params.items()}:
         return False
+    if rec.get("cleaned"):
+        return True
     try:
         spark.read.parquet(os.path.join(run_dir, stage)).schema
         return True

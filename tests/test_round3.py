@@ -631,6 +631,36 @@ def test_export_from_slices_byte_equal_to_concat_path(spark, sf_dir, tmp_path):
     slices.unpersist()
 
 
+def test_cli_clean_stage_lifecycle(tmp_path, sf_dir):
+    """O5 parity (--clear/Eraser): clean deletes consumed stage tables;
+    with --keep-lineage resume still SKIPS the cleaned stage (provenance
+    kept, data reclaimed); without it the stage recomputes."""
+    inp = os.path.join(sf_dir, "documents.parquet")
+    common = ["--kmer-size", "8", "--nb-partitions", "4", "--cores", "8"]
+    rd = str(tmp_path / "r")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd, "--until", "histogram", *common])
+    assert os.path.isdir(os.path.join(rd, "counts"))
+    rec = json.loads(_cli(["clean", "--run-dir", rd, "--stages", "counts",
+                           "--keep-lineage"]))
+    assert rec["removed"] == ["counts"]
+    assert not os.path.isdir(os.path.join(rd, "counts"))
+    assert os.path.exists(os.path.join(rd, "_lineage", "counts.json"))
+    # resume to the same point: counts SKIPS (lineage kept), histogram
+    # already done -> no recompute of the cleaned stage
+    out = json.loads(_cli(["pipeline", "--input", inp, "--run-dir", rd,
+                           "--until", "histogram", *common]))
+    assert out["counts"] == "skipped" and out["histogram"] == "skipped"
+    # without --keep-lineage the stage recomputes on resume (fresh run:
+    # its input stage table must still exist — cleaning an input a later
+    # recompute needs fails loudly by design)
+    rd2 = str(tmp_path / "r2")
+    _cli(["pipeline", "--input", inp, "--run-dir", rd2, "--until", "histogram", *common])
+    json.loads(_cli(["clean", "--run-dir", rd2, "--stages", "histogram"]))
+    out2 = json.loads(_cli(["pipeline", "--input", inp, "--run-dir", rd2,
+                            "--until", "histogram", *common]))
+    assert out2["counts"] == "skipped" and out2["histogram"] == "done"
+
+
 def test_cli_combine_refuses_missing_lineage(tmp_path, sf_dir):
     """ADVICE r2: combine must refuse (not silently skip the compat
     check) when a run has no matrix lineage, unless overridden."""
