@@ -15,7 +15,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -295,10 +295,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
     )
     if max_df is not None:
-        w_df = Window.partitionBy("gram")
-        grams = grams.withColumn("gram_df", F.count(F.lit(1)).over(w_df)).where(
-            F.col("gram_df") <= max_df
-        ).drop("gram_df")
+        # stop-gram list via groupBy + anti-join, NOT count().over(
+        # partitionBy("gram")): the window ships a hot gram's ENTIRE
+        # posting list (10^8+ rows for a universal gram at corpus scale)
+        # into one sort task before dropping it — the exact skew it is
+        # meant to neutralize. The aggregate keeps per-gram state at one
+        # counter (map-side partial combine; only counts shuffle) and the
+        # stop list is small by construction (grams in > max_df docs), so
+        # the anti-join broadcasts. Same shape as duplicate_spans below.
+        stop = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .where(F.col("gram_df") > max_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(stop), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     l = grams.select(F.col("gram"), F.col("doc_id").alias("a"))
     r = grams.select(F.col("gram"), F.col("doc_id").alias("b"))
@@ -321,7 +332,9 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------- duplicate clustering
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, algorithm: str = "propagate"
+) -> DataFrame:
     """Connected components over duplicate pairs -> (id, cluster_id),
     cluster_id = the minimum id reachable from `id`. The missing last
     step of every near-dup pipeline: LSH/SimHash/ANN emit PAIRS, but the
@@ -342,7 +355,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Only ids that appear in some pair are returned (singletons are their
     own cluster by definition and never shuffle).
+
+    ``algorithm="star"`` switches to alternating large-star/small-star
+    (Kiveris et al. 2014) — O(log n) rounds on ANY graph, including the
+    deep chains min-label propagation needs diameter rounds for. Same
+    per-round shape (groupBy-min + join on id rows), slightly more work
+    per round; pick it when cluster diameter is unknown.
     """
+    if algorithm == "star":
+        return _dup_clusters_star(pairs, max_iter)
+    if algorithm != "propagate":
+        raise ValueError(f"algorithm must be propagate|star, got {algorithm!r}")
     edges = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -393,6 +416,77 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         f"dup_clusters did not converge in {max_iter} rounds — "
         "pathological chain graph; use a larger max_iter or a "
         "large-star/small-star implementation"
+    )
+
+
+def _dup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond", Alg. 2).
+
+    Edges live in canonical directed form (u, v) with u > v. Each round:
+    large-star rewires every strictly-larger neighbor of u to
+    m = min(closed neighborhood of u); small-star then rewires u's
+    smaller neighbors (and u itself) to their minimum. Both halves are a
+    groupBy-min plus an id-row join — never the pair space — and the
+    edge count is non-increasing, so per-round cost shrinks. Converges to
+    a star forest (every node points at its component minimum) in
+    O(log n) rounds on ANY graph shape, which is why this is the scale
+    path for deep chains where min-label propagation needs diameter
+    rounds. localCheckpoint per round truncates the doubling logical
+    plan (same trap as propagate — see dup_clusters).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = edges.count()
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhoods
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        # emitted (v, m) always has v > u >= m, so it is already canonical
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the canonical (larger -> smaller) edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .union(mins2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+        new_edges = (
+            small.select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = new_edges.count()
+        converged = n_new == n_prev and new_edges.subtract(edges).count() == 0
+        edges.unpersist()
+        edges, n_prev = new_edges, n_new
+        if converged:
+            # star forest: leaves point at their root; roots label themselves
+            leaves = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+            roots = (
+                edges.select(F.col("v").alias("id")).distinct()
+                .select("id", F.col("id").alias("cluster_id"))
+            )
+            return leaves.union(roots)
+    edges.unpersist()
+    raise RuntimeError(
+        f"dup_clusters(star) did not converge in {max_iter} rounds — "
+        "star contraction is O(log n), so raise max_iter"
     )
 
 

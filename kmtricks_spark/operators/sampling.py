@@ -32,6 +32,17 @@ def frac_to_hex_threshold(fraction: float) -> str:
     return format(int(fraction * (1 << 32)), "08x")
 
 
+def _frac_hex_threshold_col(frac) -> "F.Column":
+    """Column twin of frac_to_hex_threshold (same 8-hex-char contract:
+    'g' for >= 1.0, else lowercase zero-padded hex of int(frac * 2^32)).
+    Both paths do the same IEEE double multiply + truncating integer
+    cast, so the thresholds are bit-identical (pinned by test)."""
+    scaled = (frac * F.lit(float(1 << 32))).cast("bigint")
+    return F.when(frac >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(scaled)), 8, "0")
+    )
+
+
 _NULL_KEY = "\x00null"
 
 
@@ -91,18 +102,76 @@ def stratified_hash_sample(
 
 
 def deterministic_group_sample(
-    df: DataFrame, k: int, strata_col: str = "lang", key_col: str = "doc_id", salt: str = ""
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    oversample: float = 4.0,
 ) -> DataFrame:
     """Exactly min(k, |group|) rows per group, chosen by key-hash rank —
     the deterministic replacement for per-group reservoir sampling.
-    One shuffle on the stratum (the window); ties impossible for
-    distinct keys (hash then key breaks them)."""
-    h = F.md5(
+
+    Two-pass, scale-safe shape: a single-window implementation
+    (row_number over the whole group) sorts EVERY row of every group to
+    keep k survivors — O(n log n) per group, and one giant stratum (one
+    lang = 80% of 10^12 docs) pays it all in one task chain. Instead:
+
+    1. group sizes n_g (map-side partial agg, tiny result);
+    2. hash-threshold prefilter at ~oversample*k/n_g per group (broadcast
+       thresholds, pure predicate — no shuffle, no sort). Because the
+       rank order is the hash order and the prefilter keeps exactly the
+       rows BELOW a hash prefix threshold, the global top-k of a group
+       is a subset of its survivors whenever >= min(k, n_g) survive
+       (every survivor sorts before every non-survivor);
+    3. exact row_number rank on the ~oversample*k survivors per group;
+    4. deterministic fallback: any group whose survivor count undershoots
+       min(k, n_g) (possible — the hash binomial has a left tail) is
+       re-ranked over ALL its rows. The check is a metadata-scale
+       aggregate; the fallback set is empty in the common case.
+
+    Output is identical to the one-window form for every oversample > 0
+    (the fallback guarantees it); oversample trades prefilter tightness
+    against fallback probability. Ties impossible for distinct keys
+    (hash then key breaks them).
+    """
+    full_hash = F.md5(
         F.concat(F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY)), F.lit(salt))
     )
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    w = Window.partitionBy(strata_col).orderBy(full_hash, F.col(key_col))
+    ranked_topk = (
+        lambda d: d.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+    # group sizes + per-group thresholds, fully distributed (no driver
+    # collect of the strata universe — strata can be high-cardinality)
+    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    thdf = sizes.select(
+        strata_col, "__n", _frac_hex_threshold_col(F.lit(oversample * k) / F.col("__n")).alias("__th")
+    )
+    pre = (
+        df.join(F.broadcast(thdf.drop("__n")), strata_col, "left")
+        # a NULL stratum joins nothing (SQL null-key semantics): keep its
+        # rows (threshold 'g') and let the fallback re-rank them
+        .where(_key_hex(key_col, salt) < F.coalesce(F.col("__th"), F.lit("g")))
+        .drop("__th")
+    )
+    # undershoot check: groups whose prefilter kept fewer than
+    # min(k, n_g) rows lose rank correctness -> full re-rank. Only the
+    # (rare, usually empty) bad-group list reaches the driver.
+    survc = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__m"))
+    bad_rows = (
+        sizes.join(survc, strata_col, "left")
+        .where(F.coalesce("__m", F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+        .select(strata_col)
+        .collect()
+    )
+    bad = [r[0] for r in bad_rows]
+    if not bad:
+        return ranked_topk(pre)
+    nn_bad = [b for b in bad if b is not None]
+    is_bad = F.col(strata_col).isin(nn_bad)
+    if None in bad:
+        is_bad = is_bad | F.col(strata_col).isNull()
+    return ranked_topk(pre.where(~is_bad).unionByName(df.where(is_bad)))

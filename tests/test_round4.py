@@ -1,0 +1,197 @@
+"""Round-4 tests: star clustering, two-pass group sampling, stop-gram
+anti-join, CMS oracle-portable hashing, CLI plugin, howde magic knob."""
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------ large-star/small-star
+
+def test_dup_clusters_star_chain_converges_fast(spark):
+    """The chain graph that min-label propagation cannot finish in 2
+    rounds (test_dup_clusters_nonconvergence_raises) clusters correctly
+    under algorithm='star' in O(log n) rounds — no raise."""
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
+    labels = dup_clusters(chain, max_iter=10, algorithm="star").collect()
+    assert all(r.cluster_id == 0 for r in labels) and len(labels) == 31
+
+
+def test_dup_clusters_star_vs_union_find_random_and_chains(spark):
+    """Random graphs + deep chains (disjoint id spaces, one Spark run)
+    against a pure-Python union-find: star labels == component minima,
+    and == the propagate algorithm's labels."""
+    import numpy as np
+
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(11)
+    edges = []
+    for g in range(10):
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(1, 60))
+        base = g * 1000
+        for _ in range(m):
+            a, b = (int(x) for x in rng.integers(0, n, 2))
+            if a != b:
+                edges.append((base + min(a, b), base + max(a, b)))
+    # two deep chains — the propagate-hostile shape
+    for g, ln in ((50, 80), (60, 55)):
+        base = g * 1000
+        edges += [(base + i, base + i + 1) for i in range(ln)]
+    pairs = spark.createDataFrame(sorted(set(edges)), ["a", "b"])
+    got = {r.id: r.cluster_id for r in
+           dup_clusters(pairs, max_iter=20, algorithm="star").collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    prop = {r.id: r.cluster_id for r in dup_clusters(pairs, max_iter=200).collect()}
+    assert got == prop
+
+
+def test_dup_clusters_rejects_unknown_algorithm(spark):
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="algorithm"):
+        dup_clusters(pairs, algorithm="bogus")
+
+
+# ------------------------------------------- two-pass group sampling
+
+def _naive_group_sample(df, k, strata_col="lang", key_col="doc_id", salt=""):
+    from kmtricks_spark.operators.sampling import _NULL_KEY
+
+    h = F.md5(F.concat(F.coalesce(F.col(key_col).cast("string"),
+                                  F.lit(_NULL_KEY)), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def test_group_sample_two_pass_matches_full_sort(spark):
+    """One giant stratum (the scale case the prefilter exists for) + small
+    strata + a null stratum: two-pass output == full-window output."""
+    from kmtricks_spark.operators.sampling import deterministic_group_sample
+
+    rows = [(i, "big" if i < 900 else ["g1", "g2", None][i % 3]) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    exp = {(r.doc_id, r.lang) for r in _naive_group_sample(df, 9).collect()}
+    got = {(r.doc_id, r.lang) for r in deterministic_group_sample(df, 9).collect()}
+    assert got == exp
+    # the prefilter actually prunes the giant stratum (not a silent no-op):
+    # threshold for n=900, k=9, oversample=4 keeps ~4% of its rows
+    from kmtricks_spark.operators.sampling import frac_to_hex_threshold
+
+    assert frac_to_hex_threshold(min(1.0, 4.0 * 9 / 900)) < "g"
+
+
+def test_group_sample_undershoot_fallback_exact(spark):
+    """A pathologically small oversample forces the prefilter to
+    undershoot every group — the fallback must still return the exact
+    full-sort answer (correctness never depends on the tuning knob)."""
+    from kmtricks_spark.operators.sampling import deterministic_group_sample
+
+    rows = [(i, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    exp = {(r.doc_id, r.lang) for r in _naive_group_sample(df, 5).collect()}
+    got = {(r.doc_id, r.lang) for r in
+           deterministic_group_sample(df, 5, oversample=1e-4).collect()}
+    assert got == exp
+
+
+def test_frac_hex_threshold_col_matches_python(spark):
+    """The distributed threshold column must be bit-identical to the
+    Python frac_to_hex_threshold across the fraction range."""
+    from kmtricks_spark.operators.sampling import (
+        _frac_hex_threshold_col,
+        frac_to_hex_threshold,
+    )
+
+    fracs = [0.0, 1e-9, 0.0001, 0.03125, 0.1, 0.25, 0.5, 0.75,
+             0.999999, 1.0 - 2**-53, 1.0, 1.5]
+    df = spark.createDataFrame([(f,) for f in fracs], ["f"])
+    got = {r.f: r.th for r in
+           df.select("f", _frac_hex_threshold_col(F.col("f")).alias("th")).collect()}
+    for f in fracs:
+        assert got[f] == frac_to_hex_threshold(min(f, 1.0)), f
+
+
+# ------------------------------------------------ stop-gram anti-join
+
+def test_ngram_max_df_universal_gram_no_window(spark):
+    """A universal gram shared by every doc: with max_df it must be
+    dropped via groupBy + anti-join (partial agg before the exchange),
+    never a count().over(partitionBy) window that ships the full posting
+    list to one task."""
+    from kmtricks_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "u v common x1 y1"), (2, "u v common x2 y2"),
+         (3, "u v common x3 y3"), (4, "a b common c4 d4")],
+        ["doc_id", "text"],
+    )
+    # 'u v' / 'v common' style grams shared by docs 1-3; with max_df=2
+    # those survive only if df<=2 — the truly universal grams vanish
+    full = {(r.a, r.b): r.jaccard for r in
+            ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0).collect()}
+    capped = {(r.a, r.b): r.jaccard for r in
+              ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0, max_df=2).collect()}
+    assert full and capped != full  # the cap changed the gram universe
+    q = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0, max_df=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # map-side partial aggregation feeds the stop-gram exchange
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_ngram_max_df_exact_semantics(spark):
+    """Capped Jaccard == exact Jaccard computed over the capped gram
+    universe (both |A∩B| and doc sizes use the same universe)."""
+    from kmtricks_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = {1: "p q r s t", 2: "p q r s u", 3: "p q x y z"}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def grams(t, n=2):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    df_count: dict = {}
+    for t in texts.values():
+        for g in grams(t):
+            df_count[g] = df_count.get(g, 0) + 1
+    kept = {g for g, c in df_count.items() if c <= 2}
+    exp = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = grams(texts[a]) & kept, grams(texts[b]) & kept
+            inter = len(ga & gb)
+            if inter:
+                exp[(a, b)] = round(inter / len(ga | gb), 6)
+    got = {(r.a, r.b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, n=2, min_jaccard=0.0, max_df=2).collect()}
+    assert got == exp
