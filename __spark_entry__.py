@@ -328,42 +328,6 @@ def _q_hll_per_sample(spark, sf_dir):
     return agg.select("sample_id", F.round(hll_estimate_col(), 2).alias("est_distinct"))
 
 
-def _q_hll_per_partition(spark, sf_dir):
-    """North rule: distinct-shingle cardinality per partition AND sample."""
-    counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1, nb_partitions=8))
-    hashed = counts.select("part_id", "sample_id", F.xxhash64("kgram").alias("h"))
-    agg = sketch_agg(hashed, ["part_id", "sample_id"], "h", "hll", p=12)
-    return agg.select(
-        "part_id", "sample_id", F.round(hll_estimate_col(), 2).alias("est_distinct")
-    )
-
-
-def _q_hll_overlap(spark, sf_dir):
-    """HLL set algebra: union is the native payload merge (register max);
-    intersection via inclusion-exclusion est(A)+est(B)-est(A∪B). First 4
-    samples, all pairs. Error bound vs exact overlap asserted in
-    tests/test_sketch_spark.py (rows-only here: estimates are not
-    SQL-computable)."""
-    from kmtricks_spark.sketches import hll
-
-    counts = count_kgrams(_docs(spark, sf_dir), CFG.with_(hard_min=1))
-    hashed = counts.select("sample_id", F.xxhash64("kgram").alias("h"))
-    agg = sketch_agg(hashed, ["sample_id"], "h", "hll", p=14).collect()
-    states = {r["sample_id"]: hll.deserialize(bytes(r["payload"])) for r in agg}
-    samples = sorted(states)[:4]
-    rows = []
-    for i, a in enumerate(samples):
-        for b in samples[i + 1:]:
-            ea, eb = hll.estimate(states[a]), hll.estimate(states[b])
-            eu = hll.estimate(hll.merge(states[a], states[b]))
-            rows.append((a, b, round(float(ea), 2), round(float(eb), 2),
-                         round(float(eu), 2), round(max(float(ea + eb - eu), 0.0), 2)))
-    return spark.createDataFrame(
-        rows,
-        "a string, b string, est_a double, est_b double, est_union double, est_overlap double",
-    )
-
-
 def _q_kll_count_dist(spark, sf_dir):
     """North rule: count-distribution quantiles (how often do shingles of
     each sample repeat) via KLL over the exact count column. k=32768 >=
@@ -562,6 +526,27 @@ def _q_dup_cluster_assign(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def _q_dup_cluster_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. 2014), hash-matched on a deliberately DEEP graph:
+    per-language doc_id chains (diameter ~100 at sf0.01) where min-label
+    propagation would need diameter rounds but star contraction is
+    O(log n). Oracle: each chain is one component labeled by its
+    language's min doc_id — SQL-computable because the chains are."""
+    from pyspark.sql import Window
+
+    from kmtricks_spark.operators.dedup import dup_clusters
+
+    d = _docs(spark, sf_dir).select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return dup_clusters(pairs, max_iter=25, algorithm="star")
+
+
 def _q_dup_span_stats(spark, sf_dir):
     """Substring-level dup detection, hash-matched: strided 40-char span
     hashes grouped corpus-wide, spans in >=2 distinct docs flagged,
@@ -637,17 +622,38 @@ def _q_simhash_exact_dups(spark, sf_dir):
     )
 
 
+def _md5_hash64_col(col: str) -> "F.Column":
+    """First 16 md5 hex chars of a string column as a signed 64-bit hash
+    — the SQL-portable hash family (same trick as the sampling
+    operators): any engine with md5() reproduces the exact bit pattern,
+    so sketches built on it are deterministically oracle-able. conv()
+    yields the unsigned decimal string; the wrap to two's-complement
+    keeps decimal arithmetic exact (no double rounding)."""
+    dec = F.conv(F.substring(F.md5(F.col(col)), 1, 16), 16, 10).cast("decimal(20,0)")
+    half = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63 (> max long literal)
+    return F.when(dec >= half, dec - half - half).otherwise(dec).cast("long")
+
+
 def _q_cms_word_freq(spark, sf_dir):
-    """Count-min heavy-hitter estimates for the corpus vocabulary: build
-    the CMS distributed (partial->merge payloads), probe the top words.
-    Guarantee under test: est >= exact, est - exact <= eps*N."""
-    from kmtricks_spark.sketches.spark import cms_query_driver, sketch_agg
+    """Count-min heavy-hitter estimates for the corpus vocabulary, HASH-
+    MATCHED: the CMS is built distributed (partial -> salted merge ->
+    payload) over md5-derived 64-bit hashes, then the top-20 words are
+    probed. Because CMS cells are exact sums and the Kirsch-Mitzenmacher
+    row indices h1 + i*(splitmix64(h1)|1) mod w are pure integer
+    arithmetic, the oracle recomputes every estimate in SQL (splitmix64
+    via 32-bit split modular multiplies). Bound property (est >= exact,
+    est - exact <= eps*N) stays pinned in tests; THIS query pins the
+    distributed build bit-for-bit."""
+    import hashlib
+
     import numpy as np
+
+    from kmtricks_spark.sketches.spark import cms_query_driver, sketch_agg
 
     toks = _docs(spark, sf_dir).select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
-    hashed = toks.select(F.lit("all").alias("g"), F.xxhash64("tok").alias("h"))
+    hashed = toks.select(F.lit("all").alias("g"), _md5_hash64_col("tok").alias("h"))
     # ONE global group: without the salted level every partial would
     # funnel through a single reducer at corpus scale
     payload = bytes(
@@ -660,10 +666,9 @@ def _q_cms_word_freq(spark, sf_dir):
     )
     words = [r.tok for r in top]
     hs = np.array(
-        [r.h for r in spark.createDataFrame([(w,) for w in words], ["tok"])
-         .select(F.xxhash64("tok").alias("h")).collect()],
-        dtype=np.int64,
-    )
+        [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16) for w in words],
+        dtype=np.uint64,
+    ).view(np.int64)
     est = cms_query_driver(payload, hs)
     rows = [(w, int(t.exact), int(e)) for w, t, e in zip(words, top, est)]
     return spark.createDataFrame(rows, ["tok", "exact", "cms_est"])
@@ -815,23 +820,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfc_slices": _q_bfc_slices,
         "bft_slices": _q_bft_slices,
         "winnow_fingerprints": _q_winnow_fp,
-        # rows-only (approximate / non-SQL-expressible; bounds in tests/)
-        "hll_per_sample": _q_hll_per_sample,
-        "hll_per_partition_sample": _q_hll_per_partition,
-        "hll_sample_overlap": _q_hll_overlap,
         "kll_count_distribution": _q_kll_count_dist,
         "kll_quantiles": _q_kll_quantiles,
         "kll_rank": _q_kll_rank,
-        "tdigest_quantiles": _q_tdigest_quantiles,
-        "bf_per_sample": _q_bf_per_sample,
         "bf_layout": _q_bf_layout,
         "bf_member_present": _q_bf_member_present,
+        "cms_word_freq": _q_cms_word_freq,
+        "dup_cluster_star": _q_dup_cluster_star,
+        # ---- rows-only past this point (approximate / non-SQL-
+        # expressible; bounds pinned in tests/). Every deterministic
+        # hash-matchable query sits ABOVE so the driver's 50-row
+        # correctness window is spent on checkable rows; entries past
+        # the cap are all rows-only, so nothing checkable falls off.
+        "hll_per_sample": _q_hll_per_sample,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "bf_per_sample": _q_bf_per_sample,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_pairs": _q_ann_pairs,
         "ivf_topk": _q_ivf_topk,
-        "cms_word_freq": _q_cms_word_freq,
     }
+
+
+# CMS oracle: the sketch's Kirsch-Mitzenmacher row indices are pure
+# uint64 arithmetic over the md5-derived base hash (sketches/cms.py:31-37
+# + functions/hashing.py splitmix64), so DuckDB recomputes every cell and
+# estimate exactly. uint64 wraparound multiplies are done as 32-bit split
+# modular products ((a_lo*b + ((a_hi*b) mod 2^32)*2^32) mod 2^64) because
+# a full 64x64 product overflows INT128.
+_CMS_M = 1 << 64
+_CMS_S = 1 << 32
+_CMS_W, _CMS_D = 2719, 5
+
+
+def _mulmod_sql(a: str, b: int) -> str:
+    return (
+        f"((({a}::HUGEINT % {_CMS_S}) * {b} + "
+        f"((({a}::HUGEINT // {_CMS_S}) * {b}) % {_CMS_S}) * {_CMS_S}) % {_CMS_M})"
+    )
+
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*)::BIGINT AS exact FROM toks GROUP BY tok),
+h0 AS (SELECT tok, exact,
+              ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h1 FROM cnt),
+s1 AS (SELECT *, ((h1::HUGEINT + 11400714819323198485) % {_CMS_M})::UBIGINT AS z0 FROM h0),
+s2 AS (SELECT *, ({_mulmod_sql('xor(z0, z0 >> 30)', 0xBF58476D1CE4E5B9)})::UBIGINT AS z1 FROM s1),
+s3 AS (SELECT *, ({_mulmod_sql('xor(z1, z1 >> 27)', 0x94D049BB133111EB)})::UBIGINT AS z2 FROM s2),
+s4 AS (SELECT *, (xor(z2, z2 >> 31) | 1)::UBIGINT AS h2 FROM s3),
+idx AS (
+  SELECT tok, exact, i,
+         ((h1::HUGEINT + i * h2::HUGEINT) % {_CMS_M})::UBIGINT % {_CMS_W} AS cell
+  FROM s4, LATERAL unnest(generate_series(0, {_CMS_D - 1})) AS t(i)
+),
+cells AS (SELECT i, cell, sum(exact)::BIGINT AS v FROM idx GROUP BY 1, 2),
+probe AS (SELECT tok, exact FROM cnt ORDER BY exact DESC, tok LIMIT 20)
+SELECT p.tok, p.exact, min(c.v)::BIGINT AS cms_est
+FROM probe p
+JOIN idx ix ON ix.tok = p.tok
+JOIN cells c ON c.i = ix.i AND c.cell = ix.cell
+GROUP BY 1, 2
+"""
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -1273,6 +1326,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id AS id, c.cid AS cluster_id
         FROM g JOIN c USING (fp) WHERE c.n >= 2
         """,
+        # per-lang doc_id chains: each chain is ONE component whose min
+        # label is the language's min doc_id (singleton langs emit no
+        # edge and are absent, matching the operator contract)
+        "dup_cluster_star": """
+        WITH c AS (SELECT lang, min(doc_id) AS m, count(*) AS n
+                   FROM documents GROUP BY lang)
+        SELECT d.doc_id AS id, c.m AS cluster_id
+        FROM documents d JOIN c USING (lang) WHERE c.n >= 2
+        """,
+        "cms_word_freq": _CMS_SQL,
         # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
         # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->
         # window 131072 bits -> 131072 total bytes

@@ -139,6 +139,33 @@ def test_frac_hex_threshold_col_matches_python(spark):
         assert got[f] == frac_to_hex_threshold(min(f, 1.0)), f
 
 
+# -------------------------------------- multi-key HLL (north-rule shape)
+
+def test_hll_per_partition_sample_groups(spark, docs):
+    """Distinct-shingle cardinality per (partition, sample) — the
+    north-rule per-partition HLL previously carried by a rows-only
+    queries() entry (dropped from the driver window to make room for
+    deterministic rows; the evidence lives here). Every (part, sample)
+    estimate must sit within the p=12 relative-error envelope of the
+    exact distinct count."""
+    from kmtricks_spark.operators.count import count_kgrams
+    from kmtricks_spark.sketches.spark import hll_estimate_col, sketch_agg
+    from kmtricks_spark.config import KmConfig
+
+    cfg = KmConfig(k=8, hard_min=1, nb_partitions=4)
+    counts = count_kgrams(docs, cfg)
+    hashed = counts.select("part_id", "sample_id", F.xxhash64("kgram").alias("h"))
+    agg = sketch_agg(hashed, ["part_id", "sample_id"], "h", "hll", p=12)
+    est = {(r.part_id, r.sample_id): r.e for r in
+           agg.select("part_id", "sample_id", hll_estimate_col().alias("e")).collect()}
+    exact = {(r.part_id, r.sample_id): r.n for r in
+             counts.groupBy("part_id", "sample_id")
+             .agg(F.count_distinct("kgram").alias("n")).collect()}
+    assert set(est) == set(exact) and len(est) > 4
+    for key, n in exact.items():
+        assert abs(est[key] - n) <= max(0.05 * n, 6.0), (key, est[key], n)
+
+
 # ------------------------------------------------ stop-gram anti-join
 
 def test_ngram_max_df_universal_gram_no_window(spark):
