@@ -73,6 +73,12 @@ def _add_common(p):
                    help="comma-separated sample ids: recompute only these "
                         "samples' cells (count --id analogue, cmd.hpp:164-211)")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--plugin", type=str, default=None,
+                   help="merge plugin 'module:callable' (J7 hook, "
+                        "cli.cpp:358-377): batch predicate over merged "
+                        "rows, or a factory when --plugin-config is given")
+    p.add_argument("--plugin-config", type=str, default=None,
+                   help="config string passed to the plugin factory")
 
 
 def main(argv=None):
@@ -216,6 +222,12 @@ def main(argv=None):
 
             restrict = list(range(math.ceil(f * args.nb_partitions)))
         samples = args.sample_id.split(",") if args.sample_id else None
+        plugin_fn = plugin_spec = None
+        if getattr(args, "plugin", None):
+            from kmtricks_spark.operators.plugin import load_plugin
+
+            plugin_fn = load_plugin(args.plugin, args.plugin_config)
+            plugin_spec = f"{args.plugin}|{args.plugin_config or ''}"
         pl = Pipeline(
             spark,
             _cfg_from(args),
@@ -227,6 +239,8 @@ def main(argv=None):
             repart_from=args.repart_from,
             restrict_samples=samples,
             export_bf=args.export_filters,
+            plugin=plugin_fn,
+            plugin_spec=plugin_spec,
         )
         status = pl.run()
         print(json.dumps(status))

@@ -37,9 +37,33 @@ def apply_plugin(
 
 
 # Example plugin mirroring plugins/example/: keep rows whose total count
-# across samples is at least `min_total`.
-def min_total_plugin(min_total: int):
+# across samples is at least `min_total`. Doubles as the CLI factory
+# (--plugin ...:min_total_plugin --plugin-config 3), so the config
+# arrives as a string and is coerced.
+def min_total_plugin(min_total):
+    min_total = int(min_total)
+
     def fn(kgrams: np.ndarray, counts: list) -> np.ndarray:
         return np.array([sum(c) >= min_total for c in counts], dtype=bool)
 
+    return fn
+
+
+def load_plugin(spec: str, config: str | None = None):
+    """CLI surface of the J7 hook (`--plugin`/`--plugin-config`,
+    cli.cpp:358-377): the reference dlopens a .so and calls its
+    configure hook; ours dynamically imports ``module:attr``. With a
+    config string the attribute is a FACTORY ``attr(config) ->
+    predicate`` (the plugin_config analogue of plugin.hpp:18-23);
+    without one the attribute IS the batch predicate."""
+    mod_name, _, attr = spec.partition(":")
+    if not mod_name or not attr:
+        raise ValueError(f"plugin spec must be 'module:callable', got {spec!r}")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), attr)
+    if config is not None:
+        fn = fn(config)
+    if not callable(fn):
+        raise TypeError(f"plugin {spec} did not resolve to a callable")
     return fn

@@ -42,6 +42,8 @@ class Pipeline:
         repart_from: str | None = None,
         restrict_samples: list[str] | None = None,
         export_bf: str | None = None,
+        plugin=None,
+        plugin_spec: str | None = None,
     ):
         if until is not None and until not in STAGES:
             raise ValueError(f"until must be one of {STAGES}")
@@ -71,10 +73,15 @@ class Pipeline:
         self.soft_min_quantile = soft_min_quantile
         self.repart_from = repart_from
         self.export_bf = export_bf
+        # the callable never enters lineage params — the SPEC string does,
+        # so a resume with a different plugin (or none) recomputes matrix
+        # instead of silently reusing the filtered table
+        self.plugin = plugin
         self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to,
                         "repart_from": repart_from,
                         "restrict_samples": restrict_samples,
-                        "export_bf": export_bf}
+                        "export_bf": export_bf,
+                        "plugin": plugin_spec}
 
     # ---- helpers
 
@@ -192,6 +199,13 @@ class Pipeline:
             counts = self._restrict(read_stage(self.spark, self.run_dir, "counts"))
             cfg = self._merge_cfg()
             m = count_matrix(counts, self._samples(counts), cfg)
+            if self.plugin is not None:
+                from kmtricks_spark.operators.plugin import apply_plugin
+
+                # merge-time veto/transform hook (J7): applied to merged
+                # rows before persist, the reference's call site
+                # (merge.hpp:252-257)
+                m = apply_plugin(m, self.plugin)
             write_stage(m, self.run_dir, "matrix", partition_by=["part_id"])
             self._finish("matrix", read_stage(self.spark, self.run_dir, "matrix"))
             write_stage(merge_stats(counts, cfg), self.run_dir, "merge_stats")

@@ -73,12 +73,12 @@ def write_bf_file(path: str, header: BFHeader, filter_bytes: bytes) -> None:
         f.write(filter_bytes)
 
 
-def _howde_header_bytes(k: int, num_bits: int) -> bytes:
+def _howde_header_bytes(k: int, num_bits: int, magic: int | None = None) -> bytes:
     """The finished bffileheader for one uncompressed vector, mirroring
     howde_utils.hpp:64-82 assignment-for-assignment."""
     return struct.pack(
         _HOWDE_FMT,
-        HOWDE_MAGIC,                 # header->magic
+        HOWDE_MAGIC if magic is None else magic,  # header->magic
         HOWDE_HEADER_SIZE,           # header->headerSize = round_up_16(...)
         HOWDE_VERSION,               # header->version
         HOWDE_BFKIND_SIMPLE,         # header->bfKind
@@ -99,29 +99,50 @@ def _howde_header_bytes(k: int, num_bits: int) -> bytes:
     )
 
 
-def write_bf_file_howdesbt(path: str, header: BFHeader, filter_bytes: bytes) -> None:
+def write_bf_file_howdesbt(
+    path: str,
+    header: BFHeader,
+    filter_bytes: bytes,
+    magic: int | None = None,
+    magic_un: int | None = None,
+) -> None:
     """Two-phase write, as the reference does it (howde_utils.hpp:56-86 +
     data at :148-150): (1) zeroed header region carrying only the
     UNFINISHED prefix, (2) the 8-byte bloom-size word + concatenated
     windows, (3) seek(0) and the finished header. A writer killed mid-way
-    leaves the UNFINISHED magic, which read_bf_file_howdesbt refuses."""
+    leaves the UNFINISHED magic, which read_bf_file_howdesbt refuses.
+
+    ``magic``/``magic_un`` override the module defaults for bit-exact
+    interop with an external howdesbt build: set them to the constants
+    in that build's bloom_filter_file.h (they are not vendored in the
+    reference repo, so no default can honestly claim upstream parity —
+    the knob test pins that a parameterized write round-trips through a
+    reader configured the same way)."""
     assert len(filter_bytes) * 8 == header.num_bits, "filter/num_bits mismatch"
     with open(path, "wb") as f:
         unfinished = bytearray(HOWDE_HEADER_SIZE)
         prefix_size = struct.calcsize(_HOWDE_PREFIX_FMT)
         unfinished[:prefix_size] = struct.pack(
-            _HOWDE_PREFIX_FMT, HOWDE_MAGIC_UN, prefix_size, 0
+            _HOWDE_PREFIX_FMT,
+            HOWDE_MAGIC_UN if magic_un is None else magic_un,
+            prefix_size,
+            0,
         )
         f.write(bytes(unfinished))
         f.write(struct.pack("<Q", header.num_bits))  # sdsl-style size word
         f.write(filter_bytes)
         f.seek(0)
-        f.write(_howde_header_bytes(header.k, header.num_bits))
+        f.write(_howde_header_bytes(header.k, header.num_bits, magic=magic))
 
 
-def read_bf_file_howdesbt(path: str) -> tuple[BFHeader, np.ndarray]:
+def read_bf_file_howdesbt(
+    path: str, magic: int | None = None, magic_un: int | None = None
+) -> tuple[BFHeader, np.ndarray]:
     """Raises ValueError (never bare AssertionError, which `python -O`
-    strips) on unfinished, truncated, foreign, or inconsistent files."""
+    strips) on unfinished, truncated, foreign, or inconsistent files.
+    ``magic``/``magic_un`` mirror write_bf_file_howdesbt's knobs."""
+    want = HOWDE_MAGIC if magic is None else magic
+    want_un = HOWDE_MAGIC_UN if magic_un is None else magic_un
     with open(path, "rb") as f:
         raw = f.read(HOWDE_HEADER_SIZE)
         if len(raw) < HOWDE_HEADER_SIZE:
@@ -129,11 +150,11 @@ def read_bf_file_howdesbt(path: str) -> tuple[BFHeader, np.ndarray]:
                 f"{path}: truncated howdesbt BF ({len(raw)} < {HOWDE_HEADER_SIZE} header bytes)"
             )
         fields = struct.unpack(_HOWDE_FMT, raw)
-        magic = fields[0]
-        if magic == HOWDE_MAGIC_UN:
+        got_magic = fields[0]
+        if got_magic == want_un:
             raise ValueError(f"{path}: unfinished howdesbt BF (writer died mid-write)")
-        if magic != HOWDE_MAGIC:
-            raise ValueError(f"{path}: bad howdesbt magic {magic:#x}")
+        if got_magic != want:
+            raise ValueError(f"{path}: bad howdesbt magic {got_magic:#x}")
         k, num_bits, num_bytes = fields[4], fields[9], fields[16]
         if num_bytes != num_bits // 8 + 8:
             raise ValueError(

@@ -2,12 +2,26 @@
 anti-join, CMS oracle-portable hashing, CLI plugin, howde magic knob."""
 
 import os
+import subprocess
+import sys
 
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(args, timeout=300):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=_REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
 
 
 # ------------------------------------------------ large-star/small-star
@@ -192,6 +206,115 @@ def test_ngram_max_df_universal_gram_no_window(spark):
     assert "Window" not in plan
     # map-side partial aggregation feeds the stop-gram exchange
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+# ------------------------------------------------- CLI --plugin parity
+
+def test_cli_plugin_roundtrip_matches_library(spark, sf_dir, tmp_path):
+    """`--plugin module:callable --plugin-config 3` (cli.cpp:358-377
+    surface) must produce exactly the matrix the library path gives with
+    apply_plugin(min_total_plugin(3)); a no-plugin run differs (the veto
+    actually fired); lineage records the plugin spec."""
+    import json
+
+    from kmtricks_spark.config import KmConfig
+    from kmtricks_spark.operators.count import count_kgrams
+    from kmtricks_spark.operators.merge import count_matrix
+    from kmtricks_spark.operators.plugin import apply_plugin, min_total_plugin
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "plug")
+    common = ["--kmer-size", "8", "--hard-min", "2", "--nb-partitions", "8",
+              "--cores", "8"]
+    _cli(["pipeline", "--input", inp, "--run-dir", rd, "--until", "matrix",
+          "--plugin", "kmtricks_spark.operators.plugin:min_total_plugin",
+          "--plugin-config", "3", *common])
+    got = spark.read.parquet(os.path.join(rd, "matrix"))
+
+    cfg = KmConfig(k=8, hard_min=2, nb_partitions=8)
+    counts = count_kgrams(spark.read.parquet(inp), cfg)
+    samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
+    want = apply_plugin(count_matrix(counts, samples, cfg), min_total_plugin("3"))
+    assert got.count() == want.count()
+    assert got.join(want, ["part_id", "kgram"], "left_anti").count() == 0
+    unfiltered = count_matrix(counts, samples, cfg)
+    assert got.count() < unfiltered.count()  # the veto fired
+
+    with open(os.path.join(rd, "_lineage", "matrix.json")) as f:
+        rec = json.load(f)
+    assert rec["params"]["plugin"] == (
+        "kmtricks_spark.operators.plugin:min_total_plugin|3"
+    )
+
+
+def test_load_plugin_validation():
+    from kmtricks_spark.operators.plugin import load_plugin, min_total_plugin
+
+    fn = load_plugin("kmtricks_spark.operators.plugin:min_total_plugin", "2")
+    import numpy as np
+
+    mask = fn(np.array(["a", "b"]), [[1, 0], [3, 3]])
+    assert list(mask) == [False, True]
+    # bare callable without config is accepted as the predicate itself
+    direct = load_plugin("kmtricks_spark.operators.plugin:min_total_plugin")
+    assert callable(direct) and direct is min_total_plugin
+    with pytest.raises(ValueError, match="module:callable"):
+        load_plugin("no_colon_here")
+    with pytest.raises(ModuleNotFoundError):
+        load_plugin("kmtricks_spark.does_not_exist:x")
+
+
+# ----------------------------------------------- howdesbt magic knob
+
+def test_howde_magic_knob_roundtrip(tmp_path):
+    """A write parameterized with external magic constants round-trips
+    through a reader configured the same way, and the default-configured
+    reader REFUSES the foreign file (so interop with a real howdesbt
+    build is a pure constant swap, never a code change)."""
+    import numpy as np
+
+    from kmtricks_spark.sources.howde import (
+        BFHeader,
+        read_bf_file_howdesbt,
+        write_bf_file_howdesbt,
+    )
+
+    ext_magic = int.from_bytes(b"EXTBFMAG", "little")
+    ext_un = int.from_bytes(b"EXTBFUNF", "little")
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 256, size=1024, dtype=np.uint8).tobytes()
+    hdr = BFHeader(k=8, num_bits=8192, nb_partitions=0, window_bits=0, n_set=-1)
+    p = str(tmp_path / "ext.bf")
+    write_bf_file_howdesbt(p, hdr, bits, magic=ext_magic, magic_un=ext_un)
+    back_hdr, back_bits = read_bf_file_howdesbt(p, magic=ext_magic, magic_un=ext_un)
+    assert back_hdr.k == 8 and back_hdr.num_bits == 8192
+    assert back_bits.tobytes() == bits
+    with pytest.raises(ValueError, match="bad howdesbt magic"):
+        read_bf_file_howdesbt(p)  # default constants: foreign file refused
+
+
+# ------------------------------------------ Iceberg real-catalog path
+
+def test_iceberg_real_catalog_roundtrip(spark, tmp_path):
+    """Exercises the PRIMARY (non-fallback) adapter path when the Iceberg
+    runtime jar is on the classpath; skips cleanly in this sandbox
+    (which ships no jar). Keeps the catalog code from being perpetually
+    dead in CI with the jar present."""
+    from kmtricks_spark.sources.iceberg import (
+        iceberg_available,
+        read_table,
+        write_table,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar absent (expected in this sandbox)")
+    spark.conf.set("spark.sql.catalog.it_lake", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_lake.warehouse", str(tmp_path / "wh"))
+    df = spark.range(10).withColumn("p", (F.col("id") % 2).cast("int"))
+    write_table(df, "it_lake.db.t", partition_by=["p"])
+    back = read_table(spark, "it_lake.db.t")
+    assert back.count() == 10 and set(back.columns) == {"id", "p"}
 
 
 def test_ngram_max_df_exact_semantics(spark):
