@@ -155,6 +155,11 @@ def main(argv=None):
                      help="comma-separated lang_guess codes to keep")
     cur.add_argument("--dedup", choices=["none", "exact", "minhash"], default="exact")
     cur.add_argument("--min-jaccard", type=float, default=0.8)
+    cur.add_argument("--cluster-algorithm", choices=["propagate", "star"],
+                     default="propagate",
+                     help="near-dup connected components: min-label "
+                          "propagation (shallow clusters) or "
+                          "large-star/small-star (deep chains, O(log n))")
     cur.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -199,6 +204,7 @@ def main(argv=None):
                 langs=args.langs.split(",") if args.langs else None,
                 dedup=(None if args.dedup == "none" else args.dedup),
                 min_jaccard=args.min_jaccard,
+                cluster_algorithm=args.cluster_algorithm,
             )
             kept.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"curate": "done", "output": args.output, **report}))

@@ -28,11 +28,14 @@ def curate(
     min_jaccard: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cluster_algorithm: str = "propagate",
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
     dedup: None | 'exact' (md5 keep-min) | 'minhash' (LSH candidate
-    pairs -> connected-component clusters -> keep cluster minima).
+    pairs -> connected-component clusters -> keep cluster minima;
+    cluster_algorithm='star' switches to large-star/small-star for
+    corpora whose duplicate graphs chain deeply).
     The funnel report runs one count() per enabled stage — that is the
     deliverable of a curation run, not overhead. Each gate is followed
     by an eager localCheckpoint so the per-stage count, the downstream
@@ -87,7 +90,9 @@ def curate(
         )
         sigs = minhash_signatures(src, id_col=id_col, text_col=text_col)
         pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
-        kept = dedup_keep_set(kept, pairs.select("a", "b"), id_col=id_col).localCheckpoint()
+        kept = dedup_keep_set(
+            kept, pairs.select("a", "b"), id_col=id_col, algorithm=cluster_algorithm
+        ).localCheckpoint()
         report["after_dedup"] = kept.count()
     elif dedup is not None:
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")

@@ -490,14 +490,22 @@ def _dup_clusters_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
-def dedup_keep_set(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_keep_set(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "propagate",
+) -> DataFrame:
     """Apply near-dup clustering as a curation decision: keep the minimum
     id of every duplicate cluster plus every unpaired document. Returns
     the surviving rows of `df` (a left-anti join against the drop set —
     the drop set is tiny relative to the corpus, never the other way
-    round)."""
-    drops = dup_clusters(pairs).where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
+    round). `algorithm` passes through to dup_clusters ('star' for
+    corpora whose duplicate graphs may chain deeply)."""
+    drops = (
+        dup_clusters(pairs, algorithm=algorithm)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drops, id_col, "left_anti")
 

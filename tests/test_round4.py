@@ -208,6 +208,26 @@ def test_ngram_max_df_universal_gram_no_window(spark):
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
 
 
+def test_curate_star_clustering_same_survivors(spark, docs):
+    """curate(minhash, cluster_algorithm='star') keeps exactly the same
+    survivor set as the propagate default — the algorithm choice is a
+    scale knob, never a semantics change."""
+    from kmtricks_spark.operators.curation import curate
+
+    base = docs.select("doc_id", "text")
+    dup = base.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(dup)
+    kept_p, rep_p = curate(corpus, min_quality=None, dedup="minhash")
+    kept_s, rep_s = curate(corpus, min_quality=None, dedup="minhash",
+                           cluster_algorithm="star")
+    ids_p = {r.doc_id for r in kept_p.select("doc_id").collect()}
+    ids_s = {r.doc_id for r in kept_s.select("doc_id").collect()}
+    assert ids_p == ids_s and rep_p == rep_s
+    assert rep_p["after_dedup"] < rep_p["input"]  # the dedup gate fired
+
+
 # ------------------------------------------------- CLI --plugin parity
 
 def test_cli_plugin_roundtrip_matches_library(spark, sf_dir, tmp_path):
