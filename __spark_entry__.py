@@ -503,6 +503,31 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4s / phone runs -> placeholder tokens),
+    value-pinned: deterministically synthesized PII text keyed off
+    doc_id (incl. a no-PII class proving no false positives); the
+    oracle states the EXPECTED redacted string from the same arithmetic
+    (the url_normalize trick), so every pattern is hash-matched without
+    porting Java regex to SQL."""
+    from kmtricks_spark.functions.text import pii_redact
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = lambda n: (F.col("doc_id") % n).cast("string")  # noqa: E731
+    raw = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("no pii here just words 42 and 2024")
+    ).otherwise(
+        F.concat(
+            F.lit("Contact u"), m(7), F.lit("@mail"), m(5),
+            F.lit(".com or call +1 555 01"), F.lpad(m(100), 2, "0"),
+            F.lit(" at 192.168."), m(256), F.lit("."), m(100), F.lit(" end"),
+        )
+    )
+    return pii_redact(
+        d.select("doc_id", raw.alias("text")), out_col="redacted"
+    ).withColumnRenamed("text", "pii_raw")
+
+
 def _q_dup_cluster_assign(spark, sf_dir):
     """Near-dup clustering (connected components over dup pairs),
     hash-matched: exact-duplicate edges from md5-fingerprint equality
@@ -827,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_member_present": _q_bf_member_present,
         "cms_word_freq": _q_cms_word_freq,
         "dup_cluster_star": _q_dup_cluster_star,
+        "pii_redact": _q_pii_redact,
         # ---- rows-only past this point (approximate / non-SQL-
         # expressible; bounds pinned in tests/). Every deterministic
         # hash-matchable query sits ABOVE so the driver's 50-row
@@ -1336,6 +1362,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN c USING (lang) WHERE c.n >= 2
         """,
         "cms_word_freq": _CMS_SQL,
+        # expected-value pin (url_normalize trick): raw + redacted both
+        # reconstructed from doc_id arithmetic; the %11 class pins the
+        # no-false-positive behavior on clean text
+        "pii_redact": """
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN 'no pii here just words 42 and 2024'
+               ELSE 'Contact u' || (doc_id % 7)::VARCHAR || '@mail'
+                    || (doc_id % 5)::VARCHAR || '.com or call +1 555 01'
+                    || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                    || ' at 192.168.' || (doc_id % 256)::VARCHAR || '.'
+                    || (doc_id % 100)::VARCHAR || ' end'
+          END AS pii_raw,
+          CASE WHEN doc_id % 11 = 0 THEN 'no pii here just words 42 and 2024'
+               ELSE 'Contact <EMAIL> or call <PHONE> at <IP> end'
+          END AS redacted
+        FROM documents
+        """,
         # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
         # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->
         # window 131072 bits -> 131072 total bytes

@@ -271,3 +271,29 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.coalesce("dup3gram_frac", F.lit(0.0)).alias("dup3gram_frac"),
         )
     )
+
+
+# applied in order: emails first (their local parts contain digits a
+# later pass might nibble), then dotted IPs, then free-form phone runs
+# (the phone class has no '.', so it can never eat an IP fragment)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-number runs with placeholder tokens —
+    the standard pre-training privacy scrub, as pure chained
+    regexp_replace Column expressions (JVM codegen, zero shuffles, zero
+    Python). Returns (id, text, redacted); short digit runs (< 9 chars)
+    never match the phone pattern, so years and ordinary counts
+    survive."""
+    c = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.select(F.col(id_col), F.col(text_col), c.alias(out_col))

@@ -180,6 +180,27 @@ def test_hll_per_partition_sample_groups(spark, docs):
         assert abs(est[key] - n) <= max(0.05 * n, 6.0), (key, est[key], n)
 
 
+# ------------------------------------------------------- PII redaction
+
+def test_pii_redact_patterns_and_negatives(spark):
+    from kmtricks_spark.functions.text import pii_redact
+
+    cases = [
+        (1, "Contact u3@mail2.com or call +1 555 0142 at 192.168.3.45 end",
+            "Contact <EMAIL> or call <PHONE> at <IP> end"),
+        (2, "no pii here just words 42 and 2024",
+            "no pii here just words 42 and 2024"),
+        (3, "dash phone 555-867-5309-00 ok", "dash phone <PHONE> ok"),
+        (4, "ip only 10.0.0.1 and email a.b+c@x-y.co",
+            "ip only <IP> and email <EMAIL>"),
+        (5, "v1.2.3 release is not an ip", "v1.2.3 release is not an ip"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["doc_id", "text"])
+    got = {r.doc_id: r.redacted for r in pii_redact(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 # ------------------------------------------------ stop-gram anti-join
 
 def test_ngram_max_df_universal_gram_no_window(spark):
