@@ -528,6 +528,20 @@ def _q_pii_redact(spark, sf_dir):
     ).withColumnRenamed("text", "pii_raw")
 
 
+def _q_benchmark_contamination(spark, sf_dir):
+    """Test-set decontamination (8-gram collision screen), hash-matched:
+    a synthesized benchmark (every 50th doc's text, re-id'd) against the
+    corpus — each bench text flags its source doc plus any doc sharing
+    an 8-gram (the near-dup corpus guarantees non-trivial hits)."""
+    from kmtricks_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("bench_id"), "text"
+    )
+    return benchmark_contamination(docs, bench, n=8)
+
+
 def _q_dup_cluster_assign(spark, sf_dir):
     """Near-dup clustering (connected components over dup pairs),
     hash-matched: exact-duplicate edges from md5-fingerprint equality
@@ -853,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_freq": _q_cms_word_freq,
         "dup_cluster_star": _q_dup_cluster_star,
         "pii_redact": _q_pii_redact,
+        "benchmark_contamination": _q_benchmark_contamination,
         # ---- rows-only past this point (approximate / non-SQL-
         # expressible; bounds pinned in tests/). Every deterministic
         # hash-matchable query sits ABOVE so the driver's 50-row
@@ -1378,6 +1393,26 @@ def oracle_sql() -> dict[str, str]:
                ELSE 'Contact <EMAIL> or call <PHONE> at <IP> end'
           END AS redacted
         FROM documents
+        """,
+        # same distinct-8-gram construction both sides; bench = every
+        # 50th doc re-id'd into a disjoint id space
+        "benchmark_contamination": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) u(i)
+        ),
+        bg AS (
+          SELECT DISTINCT doc_id + 9000000 AS bench_id,
+                 array_to_string(t[i : i + 7], ' ') AS gram
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) u(i)
+          WHERE doc_id % 50 = 0
+        )
+        SELECT cg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared_grams
+        FROM cg JOIN bg USING (gram) GROUP BY 1, 2
         """,
         # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
         # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->

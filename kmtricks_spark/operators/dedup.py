@@ -256,6 +256,57 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 # ------------------------------------------------------- exact n-gram Jaccard
 
+def _word_grams(
+    df: DataFrame, n: int, text_col: str, id_col: str, out_id: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows: DISTINCT word n-grams per document, as pure
+    Column expressions. Docs with fewer than n tokens contribute zero
+    grams (an empty set, never a crash: F.sequence(1, size-(n-1)) on a
+    short doc would DESCEND to [1, 0] and slice() throws on index 0)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias(out_id), F.explode(gram_arr).alias("gram"))
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Test-set decontamination screen — the n-gram collision rule of
+    GPT-3-style corpus hygiene (Brown et al. 2020 App. C; Lee et al.
+    2022 §6): flag every training document sharing at least one distinct
+    word n-gram with a benchmark text. Returns (doc_id, bench_id,
+    n_shared_grams); threshold / anti-join downstream to drop or report.
+
+    Scale shape: benchmark gram sets are tiny next to a 10^12-doc corpus
+    (eval suites are MBs), so they ride a broadcast — corpus grams
+    stream past the hash join map-side and the corpus is NEVER shuffled;
+    the only exchange is the final count agg whose cardinality is the
+    contaminated (doc, bench) pairs, not the corpus. n >= 8 keeps grams
+    rare enough that no stop-gram cap is needed (the reason the
+    published rule uses long grams)."""
+    cg = _word_grams(df, n, text_col, id_col, "doc_id")
+    bg = _word_grams(bench, n, bench_text_col, bench_id_col, "bench_id")
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -281,19 +332,7 @@ def ngram_jaccard_pairs(
     set, never a crash: F.sequence(1, size-(n-1)) on a short doc would
     DESCEND to [1, 0] and slice() throws on index 0).
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
-    )
+    grams = _word_grams(df, n, text_col, id_col, "doc_id")
     if max_df is not None:
         # stop-gram list via groupBy + anti-join, NOT count().over(
         # partitionBy("gram")): the window ships a hot gram's ENTIRE

@@ -180,6 +180,34 @@ def test_hll_per_partition_sample_groups(spark, docs):
         assert abs(est[key] - n) <= max(0.05 * n, 6.0), (key, est[key], n)
 
 
+# ---------------------------------------------- benchmark contamination
+
+def test_benchmark_contamination_exact(spark):
+    """Handcrafted corpus/benchmark: exact shared-distinct-gram counts,
+    no hit for clean docs, short docs contribute nothing."""
+    from kmtricks_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),          # shares 'a b c' and 'b c d' with bench 10
+         (2, "b c d x y z"),          # shares 'b c d'
+         (3, "totally clean words here now"),
+         (4, "a b")],                 # too short for 3-grams
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d"), (11, "no overlap at all whatsoever")],
+        ["bench_id", "text"],
+    )
+    got = {(r.doc_id, r.bench_id): r.n_shared_grams
+           for r in benchmark_contamination(docs, bench, n=3).collect()}
+    assert got == {(1, 10): 2, (2, 10): 1}
+    # plan shape: the benchmark side is broadcast (corpus never shuffles
+    # into the join)
+    plan = benchmark_contamination(docs, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 # ------------------------------------------------------- PII redaction
 
 def test_pii_redact_patterns_and_negatives(spark):
