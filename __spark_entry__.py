@@ -542,6 +542,18 @@ def _q_benchmark_contamination(spark, sf_dir):
     return benchmark_contamination(docs, bench, n=8)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style packed-stream layout, hash-matched: md5-ordered
+    concat-with-EOD packing into 512-token windows across 8 shards —
+    every doc's shard, stream offset, and first/last window pinned
+    exactly (the property training-run reproducibility rides on)."""
+    from kmtricks_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"), max_tokens=512, n_shards=8
+    )
+
+
 def _q_dup_cluster_assign(spark, sf_dir):
     """Near-dup clustering (connected components over dup pairs),
     hash-matched: exact-duplicate edges from md5-fingerprint equality
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_star": _q_dup_cluster_star,
         "pii_redact": _q_pii_redact,
         "benchmark_contamination": _q_benchmark_contamination,
+        "pack_sequences": _q_pack_sequences,
         # ---- rows-only past this point (approximate / non-SQL-
         # expressible; bounds pinned in tests/). Every deterministic
         # hash-matchable query sits ABOVE so the driver's 50-row
@@ -1413,6 +1426,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared_grams
         FROM cg JOIN bg USING (gram) GROUP BY 1, 2
+        """,
+        # same md5 order, same cumsum, same window arithmetic
+        "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
+                   AS shard,
+                 (len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   + 1)::BIGINT AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens)::BIGINT AS "offset"
+          FROM t
+        )
+        SELECT shard, doc_id, n_tokens, "offset",
+               floor("offset" / 512)::INT AS bin_start,
+               floor(("offset" + n_tokens - 1) / 512)::INT AS bin_end
+        FROM c
         """,
         # global filter length = P * round_up(ceil(B/P), 64)/8 bytes for
         # EVERY sample (concat zero-fills absent windows): P=8, B=2^20 ->

@@ -1,0 +1,69 @@
+"""Deterministic sequence packing — the training-batch layout operator.
+
+GPT-style packing concatenates documents (with an end-of-document
+token) in a fixed order and splits the stream into fixed-length token
+windows; documents straddle window boundaries. The layout must be
+DETERMINISTIC and layout-independent (same doc -> same window on every
+run, any cluster, under retries), so the order is the md5 key-hash
+order the sampling operators use — never partition order or rand().
+
+Scale shape: one window-sort per SHARD (shard = key-hash mod n_shards),
+so shards pack independently and in parallel — n_shards is the
+write-parallelism knob (one packed stream per output worker/file). A
+single global sort would serialize the corpus through one task chain;
+per-shard it is the ordinary "sort within my output file" every
+training-data writer already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Returns (shard, id, n_tokens, offset, bin_start, bin_end):
+    n_tokens = whitespace tokens + 1 (the end-of-document marker),
+    offset = the doc's start position in its shard's concatenated
+    stream, bin_* = the first/last max_tokens-sized training window the
+    doc touches (straddling = bin_start < bin_end). Change `salt` for an
+    independent shuffle of the same corpus (epoch re-packing).
+    """
+    if max_tokens < 1 or n_shards < 1:
+        raise ValueError("max_tokens and n_shards must be >= 1")
+    key = F.col(id_col).cast("string")
+    h = F.md5(F.concat(key, F.lit(salt)))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    n_tok = (
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")) + 1
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"), h.alias("__h")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "shard",
+            id_col,
+            "n_tokens",
+            "offset",
+            F.floor(F.col("offset") / max_tokens).cast("int").alias("bin_start"),
+            F.floor((F.col("offset") + F.col("n_tokens") - 1) / max_tokens)
+            .cast("int")
+            .alias("bin_end"),
+        )
+    )

@@ -180,6 +180,41 @@ def test_hll_per_partition_sample_groups(spark, docs):
         assert abs(est[key] - n) <= max(0.05 * n, 6.0), (key, est[key], n)
 
 
+# -------------------------------------------------- sequence packing
+
+def test_pack_sequences_layout_independent_and_contiguous(spark, docs):
+    """The packed layout must be identical under any physical layout
+    (repartition 1 vs 16), every shard's stream must be gapless
+    (offsets tile exactly: next offset = prev offset + n_tokens), and a
+    different salt must produce a different (but equally valid) order."""
+    from kmtricks_spark.operators.packing import pack_sequences
+
+    d = docs.select("doc_id", "text")
+    a = pack_sequences(d.repartition(1), 128, n_shards=4)
+    b = pack_sequences(d.repartition(16), 128, n_shards=4)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b and rows_a
+
+    by_shard: dict = {}
+    for shard, doc_id, n_tok, off, b0, b1 in sorted(rows_a, key=lambda r: (r[0], r[3])):
+        assert b0 == off // 128 and b1 == (off + n_tok - 1) // 128
+        by_shard.setdefault(shard, []).append((off, n_tok))
+    for shard, runs in by_shard.items():
+        pos = 0
+        for off, n_tok in runs:
+            assert off == pos, (shard, off, pos)
+            pos += n_tok
+
+    c = {tuple(r) for r in pack_sequences(d.repartition(4), 128, n_shards=4,
+                                          salt="epoch2").collect()}
+    assert c != rows_a  # epoch re-pack shuffles the layout
+    assert {r[1] for r in c} == {r[1] for r in rows_a}  # same docs
+
+    with pytest.raises(ValueError):
+        pack_sequences(d, 0)
+
+
 # ---------------------------------------------- benchmark contamination
 
 def test_benchmark_contamination_exact(spark):
