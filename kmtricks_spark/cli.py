@@ -73,6 +73,12 @@ def _add_common(p):
                    help="comma-separated sample ids: recompute only these "
                         "samples' cells (count --id analogue, cmd.hpp:164-211)")
     p.add_argument("--cores", type=int, default=None)
+
+
+def _add_plugin_flags(p):
+    # only on subcommands whose run actually reaches the merge stage
+    # (pipeline, matrix) — accepting-and-ignoring it elsewhere would be
+    # a silent flag drop
     p.add_argument("--plugin", type=str, default=None,
                    help="merge plugin 'module:callable' (J7 hook, "
                         "cli.cpp:358-377): batch predicate over merged "
@@ -87,12 +93,15 @@ def main(argv=None):
 
     pipe = sub.add_parser("pipeline", help="full run: counts..bloom")
     _add_common(pipe)
+    _add_plugin_flags(pipe)
     pipe.add_argument("--input", required=True)
     pipe.add_argument("--until", choices=["counts", "histogram", "matrix", "pa", "bloom"])
 
     for stage in ("counts", "histogram", "matrix", "pa", "bloom"):
         sp = sub.add_parser(stage, help=f"run only the {stage} stage")
         _add_common(sp)
+        if stage == "matrix":
+            _add_plugin_flags(sp)
         sp.add_argument("--input", required=False)
 
     rp = sub.add_parser("repart", help="build + persist the sampled partitioner only (cli.cpp repart)")

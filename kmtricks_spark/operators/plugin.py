@@ -66,4 +66,28 @@ def load_plugin(spec: str, config: str | None = None):
         fn = fn(config)
     if not callable(fn):
         raise TypeError(f"plugin {spec} did not resolve to a callable")
+    # fail at LOAD time, not mid-job in an executor: the predicate must
+    # accept (kgrams, counts). A factory passed without --plugin-config
+    # (arity 1) is the classic misuse this catches.
+    import inspect
+
+    try:
+        params = list(inspect.signature(fn).parameters.values())
+    except (TypeError, ValueError):  # builtins/C callables: trust them
+        return fn
+    if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in params):
+        return fn
+    positional = [
+        p for p in params
+        if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                      inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    required = [p for p in positional if p.default is inspect.Parameter.empty]
+    if len(required) > 2 or len(positional) < 2:
+        raise TypeError(
+            f"plugin {spec} resolved to a callable with signature "
+            f"{inspect.signature(fn)} — the batch predicate takes "
+            "(kgrams, counts). If this is a factory, pass its config "
+            "via --plugin-config."
+        )
     return fn

@@ -144,34 +144,44 @@ def deterministic_group_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+    # all internal grouping/joins use a null-safe string key (NULL
+    # strata would silently fall out of every equi-join); the public
+    # rank window still partitions by the original column, whose groups
+    # coincide with the string key's for any hashable stratum type
+    sk = F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_KEY)).alias("__sk")
     # group sizes + per-group thresholds, fully distributed (no driver
-    # collect of the strata universe — strata can be high-cardinality)
-    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # collect of the strata universe — strata can be high-cardinality);
+    # sizes is checkpointed (tiny: one row per stratum) so its scan of
+    # df runs once, not once per consumer below
+    sizes = (
+        df.select(sk).groupBy("__sk").agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
     thdf = sizes.select(
-        strata_col, "__n", _frac_hex_threshold_col(F.lit(oversample * k) / F.col("__n")).alias("__th")
+        "__sk", _frac_hex_threshold_col(F.lit(oversample * k) / F.col("__n")).alias("__th")
     )
     pre = (
-        df.join(F.broadcast(thdf.drop("__n")), strata_col, "left")
-        # a NULL stratum joins nothing (SQL null-key semantics): keep its
-        # rows (threshold 'g') and let the fallback re-rank them
+        df.withColumn("__sk", sk)
+        .join(thdf, "__sk", "left")
         .where(_key_hex(key_col, salt) < F.coalesce(F.col("__th"), F.lit("g")))
         .drop("__th")
+        # eager: consumed by BOTH the undershoot check and the final
+        # rank — without this the prefilter (a full corpus scan) runs
+        # twice; the survivor set is only ~oversample*k rows per group
+        .localCheckpoint()
     )
     # undershoot check: groups whose prefilter kept fewer than
-    # min(k, n_g) rows lose rank correctness -> full re-rank. Only the
-    # (rare, usually empty) bad-group list reaches the driver.
-    survc = pre.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__m"))
-    bad_rows = (
-        sizes.join(survc, strata_col, "left")
+    # min(k, n_g) rows lose rank correctness -> full re-rank. The bad
+    # strata stay a DATAFRAME joined as data — an isin literal list
+    # would inline an unbounded strata list into the Catalyst plan.
+    survc = pre.groupBy("__sk").agg(F.count(F.lit(1)).alias("__m"))
+    bad = (
+        sizes.join(survc, "__sk", "left")
         .where(F.coalesce("__m", F.lit(0)) < F.least(F.lit(k), F.col("__n")))
-        .select(strata_col)
-        .collect()
+        .select("__sk")
     )
-    bad = [r[0] for r in bad_rows]
-    if not bad:
-        return ranked_topk(pre)
-    nn_bad = [b for b in bad if b is not None]
-    is_bad = F.col(strata_col).isin(nn_bad)
-    if None in bad:
-        is_bad = is_bad | F.col(strata_col).isNull()
-    return ranked_topk(pre.where(~is_bad).unionByName(df.where(is_bad)))
+    if bad.isEmpty():
+        return ranked_topk(pre).drop("__sk")
+    good_part = pre.join(bad, "__sk", "left_anti")
+    redo_part = df.withColumn("__sk", sk).join(bad, "__sk", "left_semi")
+    return ranked_topk(good_part.unionByName(redo_part)).drop("__sk")

@@ -73,15 +73,17 @@ class Pipeline:
         self.soft_min_quantile = soft_min_quantile
         self.repart_from = repart_from
         self.export_bf = export_bf
-        # the callable never enters lineage params — the SPEC string does,
-        # so a resume with a different plugin (or none) recomputes matrix
-        # instead of silently reusing the filtered table
+        # the callable never enters lineage params — the SPEC string does
+        # (matrix stage only, via _stage_params): a resume with a
+        # different plugin recomputes matrix instead of silently reusing
+        # the filtered table, while counts/pa/bloom lineage — whose
+        # outputs never depend on the plugin — stays valid
         self.plugin = plugin
+        self._plugin_spec = plugin_spec
         self._params = {**asdict(cfg), "input": input_path, "restrict": restrict_to,
                         "repart_from": repart_from,
                         "restrict_samples": restrict_samples,
-                        "export_bf": export_bf,
-                        "plugin": plugin_spec}
+                        "export_bf": export_bf}
 
     # ---- helpers
 
@@ -89,7 +91,10 @@ class Pipeline:
         return stage_complete(self.spark, self.run_dir, stage, self._stage_params(stage))
 
     def _stage_params(self, stage: str) -> dict:
-        return {**self._params, "stage": stage}
+        p = {**self._params, "stage": stage}
+        if stage == "matrix":
+            p["plugin"] = self._plugin_spec
+        return p
 
     def _finish(self, stage: str, df: DataFrame, **extra):
         write_lineage(self.run_dir, stage, self._stage_params(stage), df, **extra)

@@ -349,6 +349,12 @@ def test_cli_plugin_roundtrip_matches_library(spark, sf_dir, tmp_path):
     assert rec["params"]["plugin"] == (
         "kmtricks_spark.operators.plugin:min_total_plugin|3"
     )
+    # counts output never depends on the plugin: its lineage must NOT
+    # carry the spec (else changing --plugin spuriously invalidates a
+    # resumable counts stage)
+    with open(os.path.join(rd, "_lineage", "counts.json")) as f:
+        crec = json.load(f)
+    assert "plugin" not in crec["params"]
 
 
 def test_load_plugin_validation():
@@ -359,13 +365,19 @@ def test_load_plugin_validation():
 
     mask = fn(np.array(["a", "b"]), [[1, 0], [3, 3]])
     assert list(mask) == [False, True]
-    # bare callable without config is accepted as the predicate itself
-    direct = load_plugin("kmtricks_spark.operators.plugin:min_total_plugin")
-    assert callable(direct) and direct is min_total_plugin
+    # a FACTORY passed without --plugin-config fails at LOAD time (arity
+    # 1, not the (kgrams, counts) predicate shape) — not mid-job in an
+    # executor
+    with pytest.raises(TypeError, match="plugin-config"):
+        load_plugin("kmtricks_spark.operators.plugin:min_total_plugin")
+    # a bare 2-arg predicate without config IS accepted
+    direct = load_plugin("kmtricks_spark.operators.plugin:apply_plugin")
+    assert callable(direct)
     with pytest.raises(ValueError, match="module:callable"):
         load_plugin("no_colon_here")
     with pytest.raises(ModuleNotFoundError):
         load_plugin("kmtricks_spark.does_not_exist:x")
+    assert callable(min_total_plugin("2"))
 
 
 # ----------------------------------------------- howdesbt magic knob
