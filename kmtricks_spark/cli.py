@@ -169,6 +169,12 @@ def main(argv=None):
                      help="near-dup connected components: min-label "
                           "propagation (shallow clusters) or "
                           "large-star/small-star (deep chains, O(log n))")
+    cur.add_argument("--decontaminate", type=str, default=None,
+                     help="parquet of benchmark texts (text column): drop "
+                          "survivors sharing any n-gram with it")
+    cur.add_argument("--contamination-n", type=int, default=8,
+                     help="n-gram length for --decontaminate (>=8 keeps "
+                          "grams rare; the published collision rule)")
     cur.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -214,6 +220,11 @@ def main(argv=None):
                 dedup=(None if args.dedup == "none" else args.dedup),
                 min_jaccard=args.min_jaccard,
                 cluster_algorithm=args.cluster_algorithm,
+                decontaminate=(
+                    spark.read.parquet(args.decontaminate)
+                    if args.decontaminate else None
+                ),
+                contamination_n=args.contamination_n,
             )
             kept.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"curate": "done", "output": args.output, **report}))

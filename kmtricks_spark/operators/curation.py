@@ -29,6 +29,8 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     cluster_algorithm: str = "propagate",
+    decontaminate: DataFrame | None = None,
+    contamination_n: int = 8,
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -36,6 +38,10 @@ def curate(
     pairs -> connected-component clusters -> keep cluster minima;
     cluster_algorithm='star' switches to large-star/small-star for
     corpora whose duplicate graphs chain deeply).
+    decontaminate: optional benchmark DataFrame (text_col; bench_id
+    synthesized if absent) — survivors sharing any contamination_n-gram
+    with it are dropped (test-set hygiene gate, reported as
+    'after_decontam').
     The funnel report runs one count() per enabled stage — that is the
     deliverable of a curation run, not overhead. Each gate is followed
     by an eager localCheckpoint so the per-stage count, the downstream
@@ -96,6 +102,23 @@ def curate(
         report["after_dedup"] = kept.count()
     elif dedup is not None:
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
+
+    if decontaminate is not None:
+        from kmtricks_spark.operators.dedup import benchmark_contamination
+
+        # drop every doc sharing an n-gram with the benchmark set
+        # (GPT-3-style test-set hygiene); only contaminated doc_ids are
+        # kept from the screen, so a synthesized bench id is fine (it
+        # never reaches the output) and the anti-join side is tiny
+        bench = decontaminate
+        if "bench_id" not in bench.columns:
+            bench = bench.withColumn("bench_id", F.monotonically_increasing_id())
+        hits = benchmark_contamination(
+            kept, bench, n=contamination_n,
+            text_col=text_col, id_col=id_col, bench_text_col=text_col,
+        ).select(F.col("doc_id").alias(id_col)).distinct()
+        kept = kept.join(hits, id_col, "left_anti").localCheckpoint()
+        report["after_decontam"] = kept.count()
 
     report["removed"] = report["input"] - report[list(report)[-1]]
     return kept, report

@@ -312,6 +312,27 @@ def test_curate_star_clustering_same_survivors(spark, docs):
     assert rep_p["after_dedup"] < rep_p["input"]  # the dedup gate fired
 
 
+def test_curate_decontaminate_gate(spark):
+    """The decontamination gate drops exactly the docs sharing an n-gram
+    with the benchmark and reports the stage; clean docs survive."""
+    from kmtricks_spark.operators.curation import curate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "a completely different training document with words"),
+         (3, "quick brown fox jumps over the lazy dog again today")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog benchmark",)], ["text"]
+    )
+    kept, report = curate(docs, min_quality=None, dedup=None,
+                          decontaminate=bench, contamination_n=8)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {2}
+    assert report["after_decontam"] == 1 and report["removed"] == 2
+
+
 # ------------------------------------------------- CLI --plugin parity
 
 def test_cli_plugin_roundtrip_matches_library(spark, sf_dir, tmp_path):
