@@ -378,6 +378,18 @@ def test_cli_plugin_roundtrip_matches_library(spark, sf_dir, tmp_path):
     assert "plugin" not in crec["params"]
 
 
+def test_cli_plugin_rejected_off_merge_path():
+    """Subcommands that never reach the merge stage refuse --plugin at
+    parse time (no silent accept-and-ignore)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_spark.cli", "repart",
+         "--input", "x.parquet", "--run-dir", "/tmp/nope",
+         "--plugin", "m:f"],
+        capture_output=True, text=True, timeout=60, cwd=_REPO,
+    )
+    assert r.returncode != 0 and "--plugin" in r.stderr
+
+
 def test_load_plugin_validation():
     from kmtricks_spark.operators.plugin import load_plugin, min_total_plugin
 
