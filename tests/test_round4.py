@@ -215,6 +215,62 @@ def test_pack_sequences_layout_independent_and_contiguous(spark, docs):
         pack_sequences(d, 0)
 
 
+def test_pack_sequences_matches_python_reference(spark):
+    """Randomized corpus vs a pure-Python layout reference (md5 order,
+    per-shard cumsum, window arithmetic recomputed independently)."""
+    import hashlib
+
+    import numpy as np
+
+    from kmtricks_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(21)
+    rows = [(int(i), " ".join(["w"] * int(rng.integers(0, 40)))) for i in range(250)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.shard, r.n_tokens, r.offset, r.bin_start, r.bin_end)
+           for r in pack_sequences(df, 64, n_shards=4).collect()}
+
+    L = 64
+    per_shard: dict = {}
+    for i, text in rows:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        shard = int(h[:8], 16) % 4
+        n_tok = len([t for t in text.split(" ") if t]) + 1
+        per_shard.setdefault(shard, []).append((h, i, n_tok))
+    want = {}
+    for shard, docs_ in per_shard.items():
+        pos = 0
+        for h, i, n_tok in sorted(docs_):
+            want[i] = (shard, n_tok, pos, pos // L, (pos + n_tok - 1) // L)
+            pos += n_tok
+    assert got == want
+
+
+def test_pii_redact_matches_python_re_on_random_text(spark):
+    """Randomized fuzz: the Java regexes must agree with Python re on
+    the same patterns over an adversarial alphabet (digits, @, dots,
+    dashes, spaces) — guards against engine-dialect drift."""
+    import re
+
+    import numpy as np
+
+    from kmtricks_spark.functions.text import PII_PATTERNS, pii_redact
+
+    rng = np.random.default_rng(13)
+    alphabet = np.array(list("ab XZ09@.+-_18 5."))
+    rows = []
+    for i in range(400):
+        n = int(rng.integers(0, 50))
+        rows.append((i, "".join(rng.choice(alphabet, size=n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.redacted for r in pii_redact(df).collect()}
+    for i, text in rows:
+        s = text
+        for _, pat, repl in PII_PATTERNS:
+            s = re.sub(pat, repl, s)
+        assert got[i] == s, (i, text, got[i], s)
+
+
 # ---------------------------------------------- benchmark contamination
 
 def test_benchmark_contamination_exact(spark):
