@@ -263,6 +263,11 @@ def _word_grams(
     Column expressions. Docs with fewer than n tokens contribute zero
     grams (an empty set, never a crash: F.sequence(1, size-(n-1)) on a
     short doc would DESCEND to [1, 0] and slice() throws on index 0)."""
+    if n < 1:
+        # n=0 would emit the empty gram for EVERY doc (size >= 0 always
+        # holds) — downstream, a decontamination gate would then match
+        # and drop the whole corpus "successfully"
+        raise ValueError(f"n-gram length must be >= 1, got {n}")
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     gram_arr = F.when(
         F.size(toks) >= n,

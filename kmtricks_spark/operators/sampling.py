@@ -145,16 +145,23 @@ def deterministic_group_sample(
         .drop("__rn")
     )
     # all internal grouping/joins use a null-safe string key (NULL
-    # strata would silently fall out of every equi-join); the public
-    # rank window still partitions by the original column, whose groups
-    # coincide with the string key's for any hashable stratum type
-    sk = F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_KEY)).alias("__sk")
+    # strata would silently fall out of every equi-join). The "v" value
+    # prefix keeps a real stratum equal to the null marker from
+    # COLLIDING with the NULL group (merged bookkeeping would compute a
+    # shared threshold while the rank window still separates them —
+    # a silent under-sample). Strata are expected atomic (string/
+    # numeric/date): distinct non-atomic values with identical string
+    # casts would merge in the bookkeeping; the rank window partitions
+    # by the original column either way.
+    sk = F.when(F.col(strata_col).isNull(), F.lit("\x00")).otherwise(
+        F.concat(F.lit("v"), F.col(strata_col).cast("string"))
+    )
     # group sizes + per-group thresholds, fully distributed (no driver
     # collect of the strata universe — strata can be high-cardinality);
     # sizes is checkpointed (tiny: one row per stratum) so its scan of
     # df runs once, not once per consumer below
     sizes = (
-        df.select(sk).groupBy("__sk").agg(F.count(F.lit(1)).alias("__n"))
+        df.select(sk.alias("__sk")).groupBy("__sk").agg(F.count(F.lit(1)).alias("__n"))
         .localCheckpoint()
     )
     thdf = sizes.select(
@@ -162,7 +169,10 @@ def deterministic_group_sample(
     )
     pre = (
         df.withColumn("__sk", sk)
-        .join(thdf, "__sk", "left")
+        # explicit broadcast: thdf reads from a localCheckpoint
+        # (LogicalRDD — no stats), so Catalyst would otherwise plan a
+        # corpus-shuffling sort-merge join for the prefilter
+        .join(F.broadcast(thdf), "__sk", "left")
         .where(_key_hex(key_col, salt) < F.coalesce(F.col("__th"), F.lit("g")))
         .drop("__th")
         # eager: consumed by BOTH the undershoot check and the final
@@ -182,6 +192,6 @@ def deterministic_group_sample(
     )
     if bad.isEmpty():
         return ranked_topk(pre).drop("__sk")
-    good_part = pre.join(bad, "__sk", "left_anti")
-    redo_part = df.withColumn("__sk", sk).join(bad, "__sk", "left_semi")
+    good_part = pre.join(F.broadcast(bad), "__sk", "left_anti")
+    redo_part = df.withColumn("__sk", sk).join(F.broadcast(bad), "__sk", "left_semi")
     return ranked_topk(good_part.unionByName(redo_part)).drop("__sk")

@@ -136,6 +136,50 @@ def test_group_sample_undershoot_fallback_exact(spark):
     assert got == exp
 
 
+def test_group_sample_null_vs_sentinel_stratum_distinct(spark):
+    """A real stratum value equal to the null marker must NOT merge with
+    the NULL stratum in the threshold/undershoot bookkeeping — both
+    groups get exactly min(k, n) rows; and the prefilter threshold join
+    is a broadcast (a checkpointed stats-less build side would
+    otherwise sort-merge-shuffle the corpus)."""
+    from kmtricks_spark.operators.sampling import deterministic_group_sample
+
+    rows = [(i, "\x00null" if i < 300 else None) for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    exp = {(r.doc_id, r.lang) for r in _naive_group_sample(df, 8).collect()}
+    q = deterministic_group_sample(df, 8)
+    got = {(r.doc_id, r.lang) for r in q.collect()}
+    assert got == exp
+    by_group: dict = {}
+    for _, lang in got:
+        by_group[lang] = by_group.get(lang, 0) + 1
+    assert by_group == {"\x00null": 8, None: 8}
+    # the prefilter join runs inside pre's eager checkpoint (invisible in
+    # the returned plan), so the broadcast contract is pinned on the
+    # fallback path, whose bad-strata joins ARE in the returned plan
+    q2 = deterministic_group_sample(df, 8, oversample=1e-4)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    # both corpus-sized joins against the bad-strata set broadcast (the
+    # only SortMergeJoin left is sizes<->survc, metadata-scale)
+    assert "BroadcastHashJoin [__sk" in plan2
+    assert "LeftAnti, BuildRight" in plan2 and "LeftSemi, BuildRight" in plan2
+    assert {(r.doc_id, r.lang) for r in q2.collect()} == exp
+
+
+def test_word_grams_rejects_nonpositive_n(spark):
+    """n=0 would emit the empty gram for every doc — a decontamination
+    gate would then 'successfully' drop the whole corpus."""
+    from kmtricks_spark.operators.curation import curate
+    from kmtricks_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match=">= 1"):
+        benchmark_contamination(docs, docs.withColumnRenamed("doc_id", "bench_id"), n=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        curate(docs, min_quality=None, dedup=None,
+               decontaminate=docs.select("text"), contamination_n=0)
+
+
 def test_frac_hex_threshold_col_matches_python(spark):
     """The distributed threshold column must be bit-identical to the
     Python frac_to_hex_threshold across the fraction range."""
