@@ -15,7 +15,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -611,6 +611,65 @@ def duplicate_spans(
         .select("span_hash")
     )
     return spans.join(hot, "span_hash", "left_semi").select("doc_id", "pos", "span_hash")
+
+
+def merge_dup_spans(spans_flagged: DataFrame, span: int = 40) -> DataFrame:
+    """Coalesce flagged span occurrences into maximal duplicated
+    INTERVALS per doc (gaps-and-islands): occurrences [pos, pos+span)
+    that overlap or touch merge into one interval. Returns
+    (doc_id, start, end_excl, n_spans). With a fixed span length the
+    interval ends are monotone in pos, so a lag of the previous end is
+    an exact island detector (no running-max needed). One shuffle on
+    doc_id; per-doc window state is the doc's own flagged spans."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.lag(F.col("pos") + span).over(w)
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spans_flagged.select("doc_id", "pos")
+        .withColumn("__isl", F.sum(brk).over(run))
+        .groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + span).alias("end_excl"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .drop("__isl")
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    spans_flagged: DataFrame,
+    span: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-character fraction — the signal substring-level
+    dedup actually thresholds on (Lee et al. 2022 trim/drop decisions):
+    merged duplicate intervals' total length over doc length. Returns
+    (doc_id, length, dup_chars, coverage) for EVERY row of df (0.0 when
+    nothing flagged). Intervals are disjoint by construction, so the
+    sum never exceeds the doc length."""
+    cov = (
+        merge_dup_spans(spans_flagged, span)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("end_excl") - F.col("start")).alias("dup_chars"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.length(text_col).alias("length"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "length",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(F.coalesce("dup_chars", F.lit(0)) / F.col("length"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
 
 
 def dup_span_stats(spans_flagged: DataFrame) -> DataFrame:

@@ -343,6 +343,34 @@ def test_benchmark_contamination_exact(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# ------------------------------------------- span intervals + coverage
+
+def test_merge_dup_spans_and_coverage(spark):
+    """Gaps-and-islands: overlapping/touching span occurrences coalesce
+    into maximal intervals; coverage = interval mass / doc length, 0.0
+    for clean docs, 1.0-capped by disjointness."""
+    from kmtricks_spark.operators.dedup import dup_span_coverage, merge_dup_spans
+
+    spans = spark.createDataFrame(
+        [(1, 1, "h1"), (1, 11, "h2"), (1, 21, "h3"),   # one island [1, 61)
+         (1, 200, "h4"),                               # second island [200, 240)
+         (2, 5, "h5"), (2, 45, "h6")],                 # touching: [5,45)+[45,85) merge
+        ["doc_id", "pos", "span_hash"],
+    )
+    got = {(r.doc_id, r.start, r.end_excl): r.n_spans
+           for r in merge_dup_spans(spans, span=40).collect()}
+    assert got == {(1, 1, 61): 3, (1, 200, 240): 1, (2, 5, 85): 2}
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 100), (3, "clean doc")], ["doc_id", "text"]
+    )
+    cov = {r.doc_id: (r.length, r.dup_chars, r.coverage)
+           for r in dup_span_coverage(docs, spans, span=40).collect()}
+    assert cov[1] == (300, 100, round(100 / 300, 6))
+    assert cov[2] == (100, 80, 0.8)
+    assert cov[3] == (9, 0, 0.0)
+
+
 # ------------------------------------------------------- PII redaction
 
 def test_pii_redact_patterns_and_negatives(spark):
