@@ -169,6 +169,13 @@ def main(argv=None):
                      help="near-dup connected components: min-label "
                           "propagation (shallow clusters) or "
                           "large-star/small-star (deep chains, O(log n))")
+    cur.add_argument("--max-dup-coverage", type=float, default=None,
+                     help="drop survivors whose duplicated-substring "
+                          "coverage exceeds this fraction (span screen)")
+    cur.add_argument("--span", type=int, default=40,
+                     help="span length for --max-dup-coverage")
+    cur.add_argument("--stride", type=int, default=10,
+                     help="span stride for --max-dup-coverage")
     cur.add_argument("--decontaminate", type=str, default=None,
                      help="parquet of benchmark texts (text column): drop "
                           "survivors sharing any n-gram with it")
@@ -225,6 +232,9 @@ def main(argv=None):
                     if args.decontaminate else None
                 ),
                 contamination_n=args.contamination_n,
+                max_dup_coverage=args.max_dup_coverage,
+                span=args.span,
+                stride=args.stride,
             )
             kept.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"curate": "done", "output": args.output, **report}))

@@ -31,6 +31,9 @@ def curate(
     cluster_algorithm: str = "propagate",
     decontaminate: DataFrame | None = None,
     contamination_n: int = 8,
+    max_dup_coverage: float | None = None,
+    span: int = 40,
+    stride: int = 10,
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -42,6 +45,11 @@ def curate(
     synthesized if absent) — survivors sharing any contamination_n-gram
     with it are dropped (test-set hygiene gate, reported as
     'after_decontam').
+    max_dup_coverage: optional [0,1] threshold — survivors whose
+    duplicated-substring coverage (strided span/stride screen across
+    the surviving corpus, merged intervals / doc length) exceeds it are
+    dropped (the Lee et al. substring-dedup decision, reported as
+    'after_span_dedup').
     The funnel report runs one count() per enabled stage — that is the
     deliverable of a curation run, not overhead. Each gate is followed
     by an eager localCheckpoint so the per-stage count, the downstream
@@ -102,6 +110,22 @@ def curate(
         report["after_dedup"] = kept.count()
     elif dedup is not None:
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
+
+    if max_dup_coverage is not None:
+        from kmtricks_spark.operators.dedup import dup_span_coverage, duplicate_spans
+
+        if not (0.0 <= max_dup_coverage <= 1.0):
+            raise ValueError(f"max_dup_coverage must be in [0,1], got {max_dup_coverage}")
+        spans = duplicate_spans(
+            kept, span=span, stride=stride, text_col=text_col, id_col=id_col
+        )
+        heavy = (
+            dup_span_coverage(kept, spans, span=span, text_col=text_col, id_col=id_col)
+            .where(F.col("coverage") > max_dup_coverage)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        kept = kept.join(heavy, id_col, "left_anti").localCheckpoint()
+        report["after_span_dedup"] = kept.count()
 
     if decontaminate is not None:
         from kmtricks_spark.operators.dedup import benchmark_contamination

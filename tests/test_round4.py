@@ -440,6 +440,27 @@ def test_curate_star_clustering_same_survivors(spark, docs):
     assert rep_p["after_dedup"] < rep_p["input"]  # the dedup gate fired
 
 
+def test_curate_span_coverage_gate(spark):
+    """max_dup_coverage drops exactly the docs whose duplicated-
+    substring coverage exceeds the threshold; unique docs survive."""
+    from kmtricks_spark.operators.curation import curate
+
+    boiler = "B" * 120
+    docs = spark.createDataFrame(
+        [(1, boiler + "u" * 20),          # coverage ~120/140 — heavy
+         (2, boiler + "v" * 20),          # same boilerplate — heavy
+         (3, "w" * 140)],                 # unique — clean
+        ["doc_id", "text"],
+    )
+    kept, report = curate(docs, min_quality=None, dedup=None,
+                          max_dup_coverage=0.5, span=40, stride=10)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {3}
+    assert report["after_span_dedup"] == 1
+    with pytest.raises(ValueError, match="max_dup_coverage"):
+        curate(docs, min_quality=None, dedup=None, max_dup_coverage=1.5)
+
+
 def test_curate_decontaminate_gate(spark):
     """The decontamination gate drops exactly the docs sharing an n-gram
     with the benchmark and reports the stage; clean docs survive."""
