@@ -165,10 +165,11 @@ def main(argv=None):
     cur.add_argument("--dedup", choices=["none", "exact", "minhash"], default="exact")
     cur.add_argument("--min-jaccard", type=float, default=0.8)
     cur.add_argument("--cluster-algorithm", choices=["propagate", "star"],
-                     default="propagate",
-                     help="near-dup connected components: min-label "
-                          "propagation (shallow clusters) or "
-                          "large-star/small-star (deep chains, O(log n))")
+                     default="star",
+                     help="near-dup connected components: large-star/"
+                          "small-star (default — O(log n) rounds on any "
+                          "graph shape) or min-label propagation "
+                          "(known-shallow clusters)")
     cur.add_argument("--max-dup-coverage", type=float, default=None,
                      help="drop survivors whose duplicated-substring "
                           "coverage exceeds this fraction (span screen)")

@@ -54,9 +54,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic quality heuristics: length band, type-token ratio,
-    mean word length band. Score in [0,1], rounded for stability."""
+def quality_col(text_col: str = "text") -> Column:
+    """The quality score as a single Column expression (rounded exactly
+    like quality_score's output) — the fusable form curate() evaluates
+    alongside the other scalar gates in ONE corpus scan."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks).cast("double")
     ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1.0))
@@ -69,12 +70,39 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(awl_ok, 0.3).otherwise(0.0)
         + F.least(ttr, F.lit(1.0)) * 0.3
     )
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: length band, type-token ratio,
+    mean word length band. Score in [0,1], rounded for stability."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1.0))
+    nolen = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    awl = nolen / F.greatest(n_tokens, F.lit(1.0))
     return df.select(
         F.col(id_col),
-        F.round(score, 6).alias("quality"),
+        quality_col(text_col).alias("quality"),
         F.round(ttr, 6).alias("ttr"),
         F.round(awl, 6).alias("avg_word_len"),
     )
+
+
+def lang_guess_col(text_col: str = "text") -> Column:
+    """The language guess as a single Column expression (same argmax +
+    tie-break as lang_guess) — the fusable form for curate()'s one-scan
+    scalar-gate pass."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in sorted(STOPWORDS.items())
+    }
+    best = F.greatest(*hits.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    return guess
 
 
 def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -170,6 +198,18 @@ def gopher_filters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     Returns one row per doc with each flag plus the conjunction. Flags are
     ints (0/1) so the oracle comparison is dtype-stable.
     """
+    flags = _gopher_flags(text_col)
+    cols = [F.when(c, 1).otherwise(0).cast("int").alias(n) for n, c in flags.items()]
+    out = df.select(F.col(id_col), *cols)
+    keep = None
+    for n in flags:
+        keep = F.col(n) if keep is None else (keep * F.col(n))
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def _gopher_flags(text_col: str) -> dict[str, Column]:
+    """The five Gopher rules as boolean Column conditions, shared by
+    gopher_filters (per-flag report) and gopher_keep_col (fused gate)."""
     toks = tokens_col(text_col)
     n_words = F.size(toks)
     nw_d = F.greatest(n_words, F.lit(1)).cast("double")
@@ -181,19 +221,23 @@ def gopher_filters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
         )
     )
-    flags = {
+    return {
         "ok_word_count": (n_words >= 50) & (n_words <= 100000),
         "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
         "ok_alpha_ratio": (alpha_words / nw_d) >= 0.80,
         "ok_symbol_ratio": (symbols / nw_d) <= 0.10,
         "ok_stopwords": stop_hits >= 2,
     }
-    cols = [F.when(c, 1).otherwise(0).cast("int").alias(n) for n, c in flags.items()]
-    out = df.select(F.col(id_col), *cols)
+
+
+def gopher_keep_col(text_col: str = "text") -> Column:
+    """The conjunction of all Gopher rules as one boolean Column —
+    equivalent to gopher_filters(...).keep == 1, fusable into a single
+    corpus scan by curate()."""
     keep = None
-    for n in flags:
-        keep = F.col(n) if keep is None else (keep * F.col(n))
-    return out.withColumn("keep", keep.cast("int"))
+    for c in _gopher_flags(text_col).values():
+        keep = c if keep is None else (keep & c)
+    return keep
 
 
 def tfidf_top_terms(

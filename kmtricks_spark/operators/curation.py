@@ -13,10 +13,10 @@ numbers a curation run is judged by (how much did each gate remove).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kmtricks_spark.functions.text import gopher_filters, lang_guess, quality_score
+from kmtricks_spark.functions.text import gopher_keep_col, lang_guess_col, quality_col
 
 
 def curate(
@@ -28,7 +28,7 @@ def curate(
     min_jaccard: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    cluster_algorithm: str = "propagate",
+    cluster_algorithm: str = "star",
     decontaminate: DataFrame | None = None,
     contamination_n: int = 8,
     max_dup_coverage: float | None = None,
@@ -39,8 +39,10 @@ def curate(
 
     dedup: None | 'exact' (md5 keep-min) | 'minhash' (LSH candidate
     pairs -> connected-component clusters -> keep cluster minima;
-    cluster_algorithm='star' switches to large-star/small-star for
-    corpora whose duplicate graphs chain deeply).
+    cluster_algorithm defaults to 'star' — large-star/small-star is
+    round-bound on ANY duplicate-graph shape at the same per-round cost,
+    so it is the safe default when cluster diameter is unknown;
+    'propagate' remains available for known-shallow graphs).
     decontaminate: optional benchmark DataFrame (text_col; bench_id
     synthesized if absent) — survivors sharing any contamination_n-gram
     with it are dropped (test-set hygiene gate, reported as
@@ -50,36 +52,42 @@ def curate(
     the surviving corpus, merged intervals / doc length) exceeds it are
     dropped (the Lee et al. substring-dedup decision, reported as
     'after_span_dedup').
-    The funnel report runs one count() per enabled stage — that is the
-    deliverable of a curation run, not overhead. Each gate is followed
-    by an eager localCheckpoint so the per-stage count, the downstream
-    gates, and the caller's final write all read materialized survivor
-    blocks instead of re-executing every upstream join (with 4 gates
-    the quality scan would otherwise run 5x).
+
+    Scale shape: quality, gopher, and lang are pure per-row Column
+    predicates, so they are fused into ONE corpus scan — one conditional
+    aggregate produces the whole scalar-gate funnel report (input +
+    after_quality/after_gopher/after_lang, each the running conjunction,
+    identical to sequential application), and one localCheckpoint
+    materializes only the rows surviving all scalar gates. The dedup /
+    span-coverage / decontamination gates each end in their own
+    checkpoint + count as before (they are relational, not scalar, and
+    downstream gates re-read their survivors). At 100 TB this is 2
+    column-pruned scans + 1 survivor materialization for the scalar
+    prefix instead of up to 3 full-corpus materializations + 4 jobs.
     """
-    report: dict = {"input": df.count()}
+    report: dict = {}
     kept = df
 
+    # ---- fused scalar gates: one agg scan + one survivor checkpoint
+    gates: list[tuple[str, Column]] = []
     if min_quality is not None:
-        q = quality_score(kept, text_col=text_col, id_col=id_col).where(
-            F.col("quality") >= min_quality
-        )
-        kept = kept.join(q.select(id_col), id_col).localCheckpoint()
-        report["after_quality"] = kept.count()
-
+        gates.append(("after_quality", quality_col(text_col) >= min_quality))
     if gopher:
-        g = gopher_filters(kept, text_col=text_col, id_col=id_col).where(
-            F.col("keep") == 1
-        )
-        kept = kept.join(g.select(id_col), id_col).localCheckpoint()
-        report["after_gopher"] = kept.count()
-
+        gates.append(("after_gopher", gopher_keep_col(text_col)))
     if langs:
-        lg = lang_guess(kept, text_col=text_col, id_col=id_col).where(
-            F.col("lang_guess").isin(list(langs))
-        )
-        kept = kept.join(lg.select(id_col), id_col).localCheckpoint()
-        report["after_lang"] = kept.count()
+        gates.append(("after_lang", lang_guess_col(text_col).isin(list(langs))))
+
+    aggs = [F.count(F.lit(1)).alias("input")]
+    conj = None
+    for name, pred in gates:
+        conj = pred if conj is None else (conj & pred)
+        aggs.append(F.sum(F.when(conj, 1).otherwise(0)).alias(name))
+    row = df.agg(*aggs).collect()[0]
+    report["input"] = row["input"]
+    for name, _ in gates:
+        report[name] = row[name]
+    if conj is not None:
+        kept = kept.where(conj).localCheckpoint()
 
     if dedup == "exact":
         from kmtricks_spark.operators.dedup import exact_dedup
@@ -112,7 +120,11 @@ def curate(
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
 
     if max_dup_coverage is not None:
-        from kmtricks_spark.operators.dedup import dup_span_coverage, duplicate_spans
+        from kmtricks_spark.operators.dedup import (
+            dup_span_coverage,
+            duplicate_spans,
+            release_persisted,
+        )
 
         if not (0.0 <= max_dup_coverage <= 1.0):
             raise ValueError(f"max_dup_coverage must be in [0,1], got {max_dup_coverage}")
@@ -126,6 +138,11 @@ def curate(
         )
         kept = kept.join(heavy, id_col, "left_anti").localCheckpoint()
         report["after_span_dedup"] = kept.count()
+        # duplicate_spans persists its span frame (the two-consumer
+        # exchange share); the checkpoint above cut our lineage to it,
+        # so release the executor cache instead of leaking it across
+        # repeated curate() calls in one session
+        release_persisted(spans)
 
     if decontaminate is not None:
         from kmtricks_spark.operators.dedup import benchmark_contamination

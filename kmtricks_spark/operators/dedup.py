@@ -577,11 +577,12 @@ def duplicate_spans(
     then two shuffles on the uniform span_hash — the distinct-doc
     aggregate and the semi-join probe. Without the persist the two
     branches cannot share an exchange (different children) and the
-    scan + one md5 per strided span would execute twice; the cache
-    stays attached to the returned frame's lineage, so call
-    `spark.catalog.clearCache()` between unrelated corpora if memory
-    matters. span/stride trade recall for cost (stride=1 is exhaustive,
-    stride=span is disjoint-block screening).
+    scan + one md5 per strided span would execute twice. The persisted
+    handle rides on the result as ``._km_persisted`` — callers done with
+    the result (e.g. after a checkpoint cut the lineage) should call
+    ``release_persisted(result)`` to free the executor cache instead of
+    leaking it across corpora. span/stride trade recall for cost
+    (stride=1 is exhaustive, stride=span is disjoint-block screening).
     """
     from pyspark.storagelevel import StorageLevel
     c = F.col(text_col)
@@ -610,7 +611,20 @@ def duplicate_spans(
         .where(F.col("n_docs") >= min_docs)
         .select("span_hash")
     )
-    return spans.join(hot, "span_hash", "left_semi").select("doc_id", "pos", "span_hash")
+    out = spans.join(hot, "span_hash", "left_semi").select("doc_id", "pos", "span_hash")
+    out._km_persisted = spans  # release_persisted() frees the shared cache
+    return out
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the internal cache an operator attached to its result
+    (``._km_persisted``); no-op for frames without one. The counterpart
+    of duplicate_spans' exchange-sharing persist: call it once the
+    result has been materialized (count/checkpoint/write) so repeated
+    invocations in one session do not accumulate executor cache."""
+    p = getattr(df, "_km_persisted", None)
+    if p is not None:
+        p.unpersist()
 
 
 def merge_dup_spans(spans_flagged: DataFrame, span: int = 40) -> DataFrame:

@@ -1,0 +1,134 @@
+"""Round-5 tests: fused curate() scalar gates, Column-builder parity,
+tightened phone pattern, ngram_jaccard broadcast hygiene, packing bins,
+semantic dedup, curate run-dir resume."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------ fused scalar curation gates
+
+def test_curate_scalar_gates_single_checkpoint(spark, docs, monkeypatch):
+    """quality+gopher+lang run as ONE scan: exactly one localCheckpoint
+    before any relational gate, and the funnel report equals sequential
+    gate application (running conjunction == stage-by-stage counts)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from kmtricks_spark.functions.text import gopher_filters, lang_guess, quality_score
+    from kmtricks_spark.operators.curation import curate
+
+    calls = []
+    orig = ClassicDataFrame.localCheckpoint
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ClassicDataFrame, "localCheckpoint", counting)
+    corpus = docs.select("doc_id", "text")
+    kept, report = curate(
+        corpus, min_quality=0.5, gopher=True, langs=["en", "de"], dedup=None
+    )
+    assert len(calls) == 1, f"expected 1 checkpoint for fused scalar gates, got {len(calls)}"
+
+    # sequential manual composition must agree stage by stage
+    q_ids = quality_score(corpus).where(F.col("quality") >= 0.5).select("doc_id")
+    s1 = corpus.join(q_ids, "doc_id")
+    g_ids = gopher_filters(s1).where(F.col("keep") == 1).select("doc_id")
+    s2 = s1.join(g_ids, "doc_id")
+    l_ids = lang_guess(s2).where(F.col("lang_guess").isin(["en", "de"])).select("doc_id")
+    s3 = s2.join(l_ids, "doc_id")
+    assert report["input"] == corpus.count()
+    assert report["after_quality"] == s1.count()
+    assert report["after_gopher"] == s2.count()
+    assert report["after_lang"] == s3.count() == kept.count()
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {
+        r.doc_id for r in s3.select("doc_id").collect()
+    }
+
+
+def test_curate_no_gates_is_identity(spark, docs):
+    from kmtricks_spark.operators.curation import curate
+
+    corpus = docs.select("doc_id", "text")
+    kept, report = curate(corpus, min_quality=None, dedup=None)
+    assert report == {"input": 500, "removed": 0}
+    assert kept.count() == 500
+
+
+def test_scalar_column_builders_match_dataframe_ops(spark, docs):
+    """quality_col / gopher_keep_col / lang_guess_col are bit-identical
+    to the DataFrame operators they were extracted from."""
+    from kmtricks_spark.functions.text import (
+        gopher_filters,
+        gopher_keep_col,
+        lang_guess,
+        lang_guess_col,
+        quality_col,
+        quality_score,
+    )
+
+    d = docs.select("doc_id", "text")
+    fused = d.select(
+        "doc_id",
+        quality_col("text").alias("q"),
+        gopher_keep_col("text").cast("int").alias("g"),
+        lang_guess_col("text").alias("l"),
+    )
+    ref = (
+        quality_score(d)
+        .join(gopher_filters(d).select("doc_id", "keep"), "doc_id")
+        .join(lang_guess(d).select("doc_id", "lang_guess"), "doc_id")
+    )
+    j = fused.join(ref, "doc_id")
+    bad = j.where(
+        (F.col("q") != F.col("quality"))
+        | (F.col("g") != F.col("keep"))
+        | (F.col("l") != F.col("lang_guess"))
+    ).count()
+    assert bad == 0
+
+
+def test_curate_span_gate_releases_cache(spark):
+    """The span-coverage gate must not leak the duplicate_spans persist
+    across curate() calls (ADVICE r4): each run may pin its own
+    localCheckpoint blocks (released when the survivors are GC'd) but
+    the spans persist must be released inside curate — growth over N
+    runs is at most N checkpoint RDDs, never 2N."""
+    from kmtricks_spark.operators.dedup import duplicate_spans, release_persisted
+    from kmtricks_spark.operators.curation import curate
+
+    spark.catalog.clearCache()
+    base = "x" * 120
+    rows = [(i, base + str(i)) for i in range(20)] + [
+        (100 + i, f"unique text {i} " * 10) for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # direct handle check: the persist attached by duplicate_spans is
+    # gone after release_persisted
+    spans = duplicate_spans(d)
+    spans.count()
+    with_spans = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    release_persisted(spans)
+    after_release = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert len(after_release) < len(with_spans), "release_persisted freed nothing"
+
+    n0 = len(spark.sparkContext._jsc.getPersistentRDDs())
+    runs = 3
+    for _ in range(runs):
+        curate(d, min_quality=None, dedup=None, max_dup_coverage=0.5, span=40, stride=10)
+    growth = len(spark.sparkContext._jsc.getPersistentRDDs()) - n0
+    assert growth <= runs, f"span screen leaked persists: growth {growth} > {runs} runs"
+
+
+def test_release_persisted_noop_without_handle(spark):
+    from kmtricks_spark.operators.dedup import release_persisted
+
+    release_persisted(spark.range(3).toDF("x"))  # must not raise
