@@ -362,10 +362,16 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # NO broadcast hint on sa/sb: they are per-document tables (one row
+    # per doc), so a forced broadcast is corpus-cardinality — a driver
+    # OOM at 10^12 docs. Unhinted, AQE broadcasts them at small scale
+    # from MEASURED sizes and shuffle-joins at corpus scale; both sides
+    # of the join shuffle on uniform doc ids, which is the correct
+    # fallback shape.
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
     j = (
-        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        inter.join(sa, "a").join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),

@@ -132,3 +132,51 @@ def test_release_persisted_noop_without_handle(spark):
     from kmtricks_spark.operators.dedup import release_persisted
 
     release_persisted(spark.range(3).toDF("x"))  # must not raise
+
+
+# ------------------------------------- ngram_jaccard broadcast hygiene
+
+def test_ngram_jaccard_no_forced_broadcast_of_sizes(spark):
+    """The per-doc sizes tables must NOT carry a static broadcast hint
+    (corpus-cardinality broadcast = driver OOM at scale; AQE may still
+    choose to broadcast at runtime from measured sizes — that is fine).
+    The only hint allowed in the plan is the stop-gram anti-join's
+    (its build side is the small capped stop list)."""
+    from kmtricks_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(i, f"w{i} common words here and more {i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    plan = ngram_jaccard_pairs(d, n=2, min_jaccard=0.0)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("strategy=broadcast") == 0, (
+        f"unexpected broadcast hints in hint-free path:\n{plan}"
+    )
+    plan2 = (
+        ngram_jaccard_pairs(d, n=2, min_jaccard=0.0, max_df=5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # with max_df, hints appear only on the stop-gram anti-joins (the
+    # grams subtree is repeated per consumer) — never on an inner join
+    for line in plan2.splitlines():
+        if "strategy=broadcast" in line:
+            assert "LeftAnti" in line, f"broadcast hint on non-anti join:\n{line}"
+
+
+def test_ngram_jaccard_values_unchanged(spark):
+    """Dropping the hints must not change results: hand-checkable corpus."""
+    from kmtricks_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: ab bc cd
+            (2, "a b c e"),        # grams: ab bc ce  -> inter 2, union 4
+            (3, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(d, n=2, min_jaccard=0.1).collect()
+    }
+    assert got == {(1, 2): 0.5}
