@@ -318,12 +318,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # applied in order: emails first (their local parts contain digits a
-# later pass might nibble), then dotted IPs, then free-form phone runs
-# (the phone class has no '.', so it can never eat an IP fragment)
+# later pass might nibble), then dotted IPs, then phone numbers
+# (the phone class has no '.', so it can never eat an IP fragment).
+# The phone pattern requires STRUCTURE, not just length: either a
+# leading '+' (international free-form run) or NANP-style separator
+# groups ending in a 4-digit block. Adjacent years ('1998 2001') and
+# space-grouped thousands ('100 000 000' — trailing groups of exactly
+# 3) match neither alternative, so clean numeric prose survives.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    ("phone", r"\+\d[\d -]{7,}\d|\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
 )
 
 
@@ -331,12 +336,13 @@ def pii_redact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out_col: str = "redacted",
 ) -> DataFrame:
-    """Mask emails / IPv4s / phone-number runs with placeholder tokens —
+    """Mask emails / IPv4s / phone numbers with placeholder tokens —
     the standard pre-training privacy scrub, as pure chained
     regexp_replace Column expressions (JVM codegen, zero shuffles, zero
-    Python). Returns (id, text, redacted); short digit runs (< 9 chars)
-    never match the phone pattern, so years and ordinary counts
-    survive."""
+    Python). Returns (id, text, redacted). The phone pattern demands
+    digit-GROUP structure ('+' international runs, or 3-[3,4]-4
+    separator groups), so years, adjacent years, and space-grouped
+    thousands in clean text survive unredacted."""
     c = F.col(text_col)
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)

@@ -163,6 +163,29 @@ def test_ngram_jaccard_no_forced_broadcast_of_sizes(spark):
             assert "LeftAnti" in line, f"broadcast hint on non-anti join:\n{line}"
 
 
+# --------------------------------------------- tightened phone pattern
+
+def test_pii_phone_structure_required(spark):
+    """ADVICE r4: adjacent years and space-grouped thousands must
+    survive; structured phones (international '+', NANP separators)
+    must still redact."""
+    from kmtricks_spark.functions.text import pii_redact
+
+    cases = [
+        (1, "between 1998 2001 the team grew", "between 1998 2001 the team grew"),
+        (2, "about 100 000 000 users", "about 100 000 000 users"),
+        (3, "serial 12345678901 stays", "serial 12345678901 stays"),
+        (4, "call +44 20 7946 0958 now", "call <PHONE> now"),
+        (5, "call 555 010 0123 now", "call <PHONE> now"),
+        (6, "dial 555-867-5309 today", "dial <PHONE> today"),
+        (7, "in 2024 2025 revenue was 1 234 567", "in 2024 2025 revenue was 1 234 567"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["doc_id", "text"])
+    got = {r.doc_id: r.redacted for r in pii_redact(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_ngram_jaccard_values_unchanged(spark):
     """Dropping the hints must not change results: hand-checkable corpus."""
     from kmtricks_spark.operators.dedup import ngram_jaccard_pairs
