@@ -183,6 +183,11 @@ def main(argv=None):
     cur.add_argument("--contamination-n", type=int, default=8,
                      help="n-gram length for --decontaminate (>=8 keeps "
                           "grams rare; the published collision rule)")
+    cur.add_argument("--semantic", type=float, default=None,
+                     help="SemDeDup cosine threshold over --vec-col "
+                          "(IVF-clustered within-cluster pruning)")
+    cur.add_argument("--vec-col", type=str, default="embedding",
+                     help="embedding column for --semantic")
     cur.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -236,6 +241,8 @@ def main(argv=None):
                 max_dup_coverage=args.max_dup_coverage,
                 span=args.span,
                 stride=args.stride,
+                semantic=args.semantic,
+                vec_col=args.vec_col,
             )
             kept.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"curate": "done", "output": args.output, **report}))

@@ -34,6 +34,8 @@ def curate(
     max_dup_coverage: float | None = None,
     span: int = 40,
     stride: int = 10,
+    semantic: float | None = None,
+    vec_col: str = "embedding",
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -52,6 +54,9 @@ def curate(
     the surviving corpus, merged intervals / doc length) exceeds it are
     dropped (the Lee et al. substring-dedup decision, reported as
     'after_span_dedup').
+    semantic: optional cosine threshold — SemDeDup gate over `vec_col`
+    (IVF-clustered within-cluster pruning, semantic_dedup), reported as
+    'after_semantic'; requires the embedding column on the corpus rows.
 
     Scale shape: quality, gopher, and lang are pure per-row Column
     predicates, so they are fused into ONE corpus scan — one conditional
@@ -118,6 +123,30 @@ def curate(
         report["after_dedup"] = kept.count()
     elif dedup is not None:
         raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
+
+    if semantic is not None:
+        # SemDeDup gate over an embedding column riding on the corpus
+        # rows: IVF-clustered within-cluster cosine pruning, no
+        # all-pairs. n_lists adapts down for small survivor sets (the
+        # trainer needs >= n_lists sample rows); at corpus scale the
+        # cap of 16 is the knob a caller would raise via semantic_dedup
+        # directly.
+        if vec_col not in kept.columns:
+            raise ValueError(
+                f"semantic dedup needs an embedding column {vec_col!r} in the input"
+            )
+        from kmtricks_spark.operators.similarity import semantic_dedup
+
+        survivors = report[list(report)[-1]] if len(report) > 0 else kept.count()
+        kept = semantic_dedup(
+            kept,
+            threshold=semantic,
+            n_lists=max(1, min(16, int(survivors))),
+            vec_col=vec_col,
+            id_col=id_col,
+            cluster_algorithm=cluster_algorithm,
+        ).localCheckpoint()
+        report["after_semantic"] = kept.count()
 
     if max_dup_coverage is not None:
         from kmtricks_spark.operators.dedup import (

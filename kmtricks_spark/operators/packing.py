@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
-    n_shards: int = 1,
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "",
@@ -37,7 +37,14 @@ def pack_sequences(
     stream, bin_* = the first/last max_tokens-sized training window the
     doc touches (straddling = bin_start < bin_end). Change `salt` for an
     independent shuffle of the same corpus (epoch re-packing).
+
+    ``n_shards`` defaults to the session's defaultParallelism — a
+    single-shard default would route the whole corpus through ONE
+    window-sort task; pass an explicit value when the shard count is
+    part of the layout contract (it changes every doc's shard/offset).
     """
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism
     if max_tokens < 1 or n_shards < 1:
         raise ValueError("max_tokens and n_shards must be >= 1")
     key = F.col(id_col).cast("string")
@@ -65,5 +72,43 @@ def pack_sequences(
             F.floor((F.col("offset") + F.col("n_tokens") - 1) / max_tokens)
             .cast("int")
             .alias("bin_end"),
+        )
+    )
+
+
+def pack_bins(
+    packed: DataFrame, max_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The per-window slice manifest a training loader actually consumes:
+    one row per (training window, document slice) — (shard, bin, doc_id,
+    doc_offset, len), where doc_offset is the slice's start INSIDE the
+    document's token stream and len its token count. A straddling doc
+    emits one row per window it touches; every window's slices sum to
+    exactly max_tokens (the last window of each shard may be short).
+
+    Pure gaps-and-islands arithmetic over pack_sequences' offsets —
+    explode the doc's window range, clamp both ends. No shuffle beyond
+    what `packed` already did; the explode fan-out is bounded by
+    ceil(n_tokens / max_tokens) + 1 rows per doc.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    b = F.col("bin").cast("long")
+    start_in_doc = F.greatest(F.lit(0).cast("bigint"), b * max_tokens - F.col("offset"))
+    end_in_doc = F.least(F.col("n_tokens"), (b + 1) * max_tokens - F.col("offset"))
+    return (
+        packed.select(
+            "shard",
+            F.col(id_col),
+            "n_tokens",
+            "offset",
+            F.explode(F.sequence(F.col("bin_start"), F.col("bin_end"))).alias("bin"),
+        )
+        .select(
+            "shard",
+            F.col("bin").cast("int").alias("bin"),
+            F.col(id_col),
+            start_in_doc.cast("bigint").alias("doc_offset"),
+            (end_in_doc - start_in_doc).cast("bigint").alias("len"),
         )
     )

@@ -297,3 +297,80 @@ def ann_pairs(
     return j.select("a", "b", F.round(cos, 6).alias("cosine")).where(
         F.col("cosine") >= min_cosine
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    max_train_rows: int = 65536,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_algorithm: str = "star",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication") — drop embeddings whose cosine to a kept
+    lower-id vector reaches `threshold`, WITHOUT any all-pairs scan:
+
+    1. IVF k-means clusters the embedding space (driver-capped training
+       sample, distributed Arrow-batched assignment — `ivf_train` /
+       `ivf_assign`).
+    2. Candidate pairs are generated only WITHIN a cluster (equi-join on
+       list_id, a < b) and verified with exact JVM-side cosine — the
+       pair space is sum(cluster_size^2), bounded by scaling n_lists
+       with the corpus, never N^2.
+    3. Connected components over the qualifying pairs (large-star/
+       small-star by default) keep each group's minimum id.
+
+    Returns the surviving rows of `df` (left-anti against the drop set,
+    like dedup_keep_set). Identical vectors always share a cluster
+    (same argmin), so exact-duplicate recall is 1.0 by construction;
+    cross-cluster near-dups at the boundary are the documented recall
+    trade-off of the published algorithm. The keep/drop decision depends
+    only on which pairs clear `threshold`, not on centroid positions —
+    exact duplicates pair up under ANY clustering, which is what makes
+    the injected-duplicate oracle deterministic.
+    """
+    pairs = semantic_pairs(
+        df, threshold=threshold, n_lists=n_lists, max_train_rows=max_train_rows,
+        iters=iters, seed=seed, vec_col=vec_col, id_col=id_col,
+    )
+    from kmtricks_spark.operators.dedup import dedup_keep_set
+
+    return dedup_keep_set(
+        df, pairs.select("a", "b"), id_col=id_col, algorithm=cluster_algorithm
+    )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    max_train_rows: int = 65536,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The candidate stage of semantic_dedup, exposed for inspection /
+    reuse: (a, b, cosine) with a < b, cosine >= threshold, pairs drawn
+    ONLY within an IVF cluster (equi-join on list_id — the plan property
+    that replaces the N^2 scan; downstream clustering checkpoints
+    eagerly, so pin plan shape HERE, not on semantic_dedup's output)."""
+    cents = ivf_train(
+        df, n_lists=n_lists, max_train_rows=max_train_rows, iters=iters,
+        seed=seed, vec_col=vec_col,
+    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    l = assigned.select("list_id", F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = assigned.select("list_id", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        l.join(r, "list_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -203,3 +203,129 @@ def test_ngram_jaccard_values_unchanged(spark):
         for r in ngram_jaccard_pairs(d, n=2, min_jaccard=0.1).collect()
     }
     assert got == {(1, 2): 0.5}
+
+
+# ---------------------------------------------------- packing: pack_bins
+
+def test_pack_bins_tile_exactly(spark, docs):
+    """Every (shard, bin) except each shard's last sums to exactly
+    max_tokens; slices never overlap and cover each doc fully."""
+    from kmtricks_spark.operators.packing import pack_bins, pack_sequences
+
+    packed = pack_sequences(docs.select("doc_id", "text"), max_tokens=128, n_shards=4)
+    bins = pack_bins(packed, max_tokens=128)
+    per_bin = bins.groupBy("shard", "bin").agg(F.sum("len").alias("tot")).collect()
+    last_bin = {r.shard: r.mx for r in bins.groupBy("shard").agg(F.max("bin").alias("mx")).collect()}
+    for r in per_bin:
+        if r.bin != last_bin[r.shard]:
+            assert r.tot == 128, (r.shard, r.bin, r.tot)
+        else:
+            assert 1 <= r.tot <= 128
+    # per-doc slices cover n_tokens exactly
+    cover = (
+        bins.groupBy("doc_id").agg(F.sum("len").alias("tot"), F.min("doc_offset").alias("mn"))
+        .join(packed.select("doc_id", "n_tokens"), "doc_id")
+    )
+    bad = cover.where((F.col("tot") != F.col("n_tokens")) | (F.col("mn") != 0)).count()
+    assert bad == 0
+
+
+def test_pack_sequences_default_shards_is_parallelism(spark, docs):
+    from kmtricks_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(docs.select("doc_id", "text"), max_tokens=128)
+    n = packed.select("shard").distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    assert 1 < n <= par  # hash mod defaultParallelism; all shards hit at 500 docs
+
+
+# ---------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_drops_planted_duplicates(spark, sf_dir):
+    from kmtricks_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dup = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    kept = semantic_dedup(both, threshold=0.99, n_lists=8)
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert ids == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark, sf_dir):
+    """Plan pin on the candidate stage (semantic_dedup's clustering
+    checkpoints eagerly, hiding upstream joins): the self-join keys on
+    list_id (within-cluster only) — no cross join, no all-pairs. Also
+    pin that semantic_pairs finds exactly the planted duplicates."""
+    from kmtricks_spark.operators.similarity import semantic_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = semantic_pairs(emb, threshold=0.99, n_lists=8)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "list_id" in plan, plan
+    assert "Join Cross" not in plan, plan
+
+    dup = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    got = {
+        (r.a, r.b)
+        for r in semantic_pairs(emb.unionByName(dup), threshold=0.99, n_lists=8).collect()
+    }
+    assert got == {(i, i + 1_000_000) for i in range(10)}
+
+
+def test_curate_semantic_gate(spark, sf_dir):
+    from kmtricks_spark.operators.curation import curate
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+    dup = emb.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "embedding", "text"
+    )
+    corpus = emb.unionByName(dup)
+    kept, report = curate(corpus, min_quality=None, dedup=None, semantic=0.99)
+    assert report["after_semantic"] == report["input"] - 10
+    assert kept.count() == report["after_semantic"]
+    with pytest.raises(ValueError, match="embedding column"):
+        curate(corpus.drop("embedding"), min_quality=None, dedup=None, semantic=0.99)
+
+
+# ------------------------------------- demoted oracle entries stay green
+
+def test_demoted_oracles_still_hash_match(spark, sf_dir):
+    """ADVICE r4: queries past the driver's 50-entry window must stay
+    externally verified — re-pin them in the pytest gate with the same
+    rows/cols/value-hash compare the driver uses (at the test SF)."""
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from kmtricks_spark.config import TABLES
+    sys.path.insert(0, os.path.join("/root/repo", "tools"))
+    from check_oracles import value_hash
+
+    demoted = [
+        "matrix_filter_v", "matrix_filter_m", "kll_count_distribution",
+        "dup_span_coverage", "histogram_oob", "soft_min_thresholds_bounded",
+        "kll_rank",
+    ]
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    names = list(qs)
+    assert all(names.index(d) >= 50 for d in demoted)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    for name in demoted:
+        sdf = qs[name](spark, sf_dir).toPandas()
+        odf = con.sql(osql[name]).df()
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+        assert value_hash(sdf) == value_hash(odf), name
