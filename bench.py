@@ -206,6 +206,38 @@ def bench_queries(spark) -> dict[str, float]:
         assert report["after_dedup"] * 2 <= report["input"], report
     spark.catalog.clearCache()
 
+    # PII scrub over the replicated corpus: pure chained regexp_replace
+    # in one codegen span — times the JVM regex path, zero shuffles
+    from kmtricks_spark.functions.text import pii_redact
+
+    out["pii_redact"] = _timed(
+        lambda: pii_redact(d.select("doc_id", "text"))
+        .agg(F.sum(F.length("redacted"))).collect()
+    )
+
+    # packed-stream layout + per-window bin manifest: per-shard window
+    # cumsum (shards = defaultParallelism) then the explode+clamp slices
+    from kmtricks_spark.operators.packing import pack_bins, pack_sequences
+
+    out["pack_sequences"] = _timed(
+        lambda: pack_bins(
+            pack_sequences(d.select("doc_id", "text"), max_tokens=2048),
+            max_tokens=2048,
+        ).agg(F.sum("len"), F.count(F.lit(1))).collect()
+    )
+
+    # decontamination screen: bench grams broadcast, replicated corpus
+    # streams past the map-side hash join (never shuffles)
+    from kmtricks_spark.operators.dedup import benchmark_contamination
+
+    bench_set = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out["decontaminate"] = _timed(
+        lambda: benchmark_contamination(d.select("doc_id", "text"), bench_set)
+        .agg(F.count(F.lit(1))).collect()
+    )
+
     # hyperplane signatures at realistic embedding scale (dim=256, bits=24)
     emb = spark.range(50_000).select(
         F.col("id").alias("vec_id"),

@@ -188,6 +188,14 @@ def main(argv=None):
                           "(IVF-clustered within-cluster pruning)")
     cur.add_argument("--vec-col", type=str, default="embedding",
                      help="embedding column for --semantic")
+    cur.add_argument("--run-dir", default=None,
+                     help="persisted-stage mode: each gate writes its "
+                          "survivors + lineage under this dir; a re-run "
+                          "with identical flags resumes past completed "
+                          "gates (kill-rerun safe)")
+    cur.add_argument("--until", default=None,
+                     choices=["scalar", "dedup", "semantic", "span", "decontam"],
+                     help="with --run-dir: stop after this gate")
     cur.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -223,8 +231,31 @@ def main(argv=None):
             df.show(args.limit, truncate=False)
             return 0
         if args.cmd == "curate":
-            from kmtricks_spark.operators.curation import curate
+            from kmtricks_spark.operators.curation import curate, curate_run
 
+            if args.until and not args.run_dir:
+                raise SystemExit("--until requires --run-dir")
+            if args.run_dir:
+                kept, report = curate_run(
+                    spark, args.run_dir, args.input,
+                    until=args.until,
+                    min_quality=(None if args.min_quality < 0 else args.min_quality),
+                    gopher=args.gopher,
+                    langs=args.langs.split(",") if args.langs else None,
+                    dedup=(None if args.dedup == "none" else args.dedup),
+                    min_jaccard=args.min_jaccard,
+                    cluster_algorithm=args.cluster_algorithm,
+                    decontaminate_path=args.decontaminate,
+                    contamination_n=args.contamination_n,
+                    max_dup_coverage=args.max_dup_coverage,
+                    span=args.span,
+                    stride=args.stride,
+                    semantic=args.semantic,
+                    vec_col=args.vec_col,
+                )
+                kept.write.mode("overwrite").parquet(args.output)
+                print(json.dumps({"curate": "done", "output": args.output, **report}))
+                return 0
             kept, report = curate(
                 spark.read.parquet(args.input),
                 min_quality=(None if args.min_quality < 0 else args.min_quality),

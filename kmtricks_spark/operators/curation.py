@@ -7,17 +7,161 @@ transformations so Catalyst fuses the scalar filters into the scan and
 the only shuffles are the ones dedup inherently needs (md5 groupBy, or
 the LSH band join + cluster propagation for near-dup mode).
 
-Returns both the surviving rows and a per-stage funnel report — the
-numbers a curation run is judged by (how much did each gate remove).
+Two entry points share the same gate bodies:
+* `curate(df, ...)` — in-session funnel: localCheckpoint per relational
+  gate, fused one-scan scalar prefix; returns (survivors, report).
+* `curate_run(spark, run_dir, input_path, ...)` — persisted-stage
+  funnel with the count pipeline's resume story (stage parquet tables +
+  lineage JSON + kill-rerun skip, plans/lineage.py): each enabled gate
+  writes its survivors under <run_dir>/<stage>/ and a lineage record;
+  a re-run with identical params skips completed gates and rebuilds
+  the report from lineage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmtricks_spark.functions.text import gopher_keep_col, lang_guess_col, quality_col
 
+CURATE_STAGES = ("scalar", "dedup", "semantic", "span", "decontam")
+
+
+# ------------------------------------------------------------ gate bodies
+
+def _scalar_gates(
+    min_quality: float | None, gopher: bool, langs: list[str] | None, text_col: str
+) -> list[tuple[str, Column]]:
+    """(report_key, predicate) per enabled scalar gate, in funnel order."""
+    gates: list[tuple[str, Column]] = []
+    if min_quality is not None:
+        gates.append(("after_quality", quality_col(text_col) >= min_quality))
+    if gopher:
+        gates.append(("after_gopher", gopher_keep_col(text_col)))
+    if langs:
+        gates.append(("after_lang", lang_guess_col(text_col).isin(list(langs))))
+    return gates
+
+
+def _scalar_pass(
+    df: DataFrame, gates: list[tuple[str, Column]]
+) -> tuple[DataFrame, dict]:
+    """ONE conditional-aggregate scan yields the whole scalar funnel
+    report (input + running-conjunction stage counts — identical to
+    sequential gate application); the returned survivors frame is lazy
+    (callers checkpoint or write it)."""
+    aggs = [F.count(F.lit(1)).alias("input")]
+    conj = None
+    for name, pred in gates:
+        conj = pred if conj is None else (conj & pred)
+        aggs.append(F.sum(F.when(conj, 1).otherwise(0)).alias(name))
+    row = df.agg(*aggs).collect()[0]
+    report = {"input": row["input"], **{name: row[name] for name, _ in gates}}
+    return (df.where(conj) if conj is not None else df), report
+
+
+def _dedup_gate(
+    kept: DataFrame, dedup: str, min_jaccard: float,
+    text_col: str, id_col: str, cluster_algorithm: str,
+) -> DataFrame:
+    if dedup == "exact":
+        from kmtricks_spark.operators.dedup import exact_dedup
+
+        keep_ids = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        return kept.join(keep_ids, id_col)
+    if dedup == "minhash":
+        from kmtricks_spark.operators.dedup import (
+            dedup_keep_set,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        # spread before the signature mapInPandas: a freshly-scanned
+        # parquet often has ~1 row group and would compute every
+        # signature on one core
+        src = kept.select(id_col, text_col).repartition(
+            kept.sparkSession.sparkContext.defaultParallelism
+        )
+        sigs = minhash_signatures(src, id_col=id_col, text_col=text_col)
+        pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
+        return dedup_keep_set(
+            kept, pairs.select("a", "b"), id_col=id_col, algorithm=cluster_algorithm
+        )
+    raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
+
+
+def _semantic_gate(
+    kept: DataFrame, semantic: float, vec_col: str, id_col: str,
+    cluster_algorithm: str, survivors: int,
+) -> DataFrame:
+    # SemDeDup gate over an embedding column riding on the corpus rows:
+    # IVF-clustered within-cluster cosine pruning, no all-pairs.
+    # n_lists adapts down for small survivor sets (the trainer needs
+    # >= n_lists sample rows); at corpus scale the cap of 16 is the
+    # knob a caller would raise via semantic_dedup directly.
+    if vec_col not in kept.columns:
+        raise ValueError(
+            f"semantic dedup needs an embedding column {vec_col!r} in the input"
+        )
+    from kmtricks_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        kept,
+        threshold=semantic,
+        n_lists=max(1, min(16, int(survivors))),
+        vec_col=vec_col,
+        id_col=id_col,
+        cluster_algorithm=cluster_algorithm,
+    )
+
+
+def _span_gate(
+    kept: DataFrame, max_dup_coverage: float, span: int, stride: int,
+    text_col: str, id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (survivors, spans_handle); the caller MUST materialize
+    survivors then release_persisted(spans_handle)."""
+    from kmtricks_spark.operators.dedup import dup_span_coverage, duplicate_spans
+
+    if not (0.0 <= max_dup_coverage <= 1.0):
+        raise ValueError(f"max_dup_coverage must be in [0,1], got {max_dup_coverage}")
+    spans = duplicate_spans(
+        kept, span=span, stride=stride, text_col=text_col, id_col=id_col
+    )
+    heavy = (
+        dup_span_coverage(kept, spans, span=span, text_col=text_col, id_col=id_col)
+        .where(F.col("coverage") > max_dup_coverage)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return kept.join(heavy, id_col, "left_anti"), spans
+
+
+def _decontam_gate(
+    kept: DataFrame, decontaminate: DataFrame, contamination_n: int,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    from kmtricks_spark.operators.dedup import benchmark_contamination
+
+    # drop every doc sharing an n-gram with the benchmark set
+    # (GPT-3-style test-set hygiene); only contaminated doc_ids are
+    # kept from the screen, so a synthesized bench id is fine (it
+    # never reaches the output) and the anti-join side is tiny
+    bench = decontaminate
+    if "bench_id" not in bench.columns:
+        bench = bench.withColumn("bench_id", F.monotonically_increasing_id())
+    hits = benchmark_contamination(
+        kept, bench, n=contamination_n,
+        text_col=text_col, id_col=id_col, bench_text_col=text_col,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return kept.join(hits, id_col, "left_anti")
+
+
+# --------------------------------------------------------- in-session API
 
 def curate(
     df: DataFrame,
@@ -64,108 +208,38 @@ def curate(
     after_quality/after_gopher/after_lang, each the running conjunction,
     identical to sequential application), and one localCheckpoint
     materializes only the rows surviving all scalar gates. The dedup /
-    span-coverage / decontamination gates each end in their own
-    checkpoint + count as before (they are relational, not scalar, and
-    downstream gates re-read their survivors). At 100 TB this is 2
+    semantic / span-coverage / decontamination gates each end in their
+    own checkpoint + count as before (they are relational, not scalar,
+    and downstream gates re-read their survivors). At 100 TB this is 2
     column-pruned scans + 1 survivor materialization for the scalar
     prefix instead of up to 3 full-corpus materializations + 4 jobs.
+    For a funnel that should survive a kill, use curate_run.
     """
-    report: dict = {}
-    kept = df
+    from kmtricks_spark.operators.dedup import release_persisted
 
-    # ---- fused scalar gates: one agg scan + one survivor checkpoint
-    gates: list[tuple[str, Column]] = []
-    if min_quality is not None:
-        gates.append(("after_quality", quality_col(text_col) >= min_quality))
-    if gopher:
-        gates.append(("after_gopher", gopher_keep_col(text_col)))
-    if langs:
-        gates.append(("after_lang", lang_guess_col(text_col).isin(list(langs))))
+    gates = _scalar_gates(min_quality, gopher, langs, text_col)
+    kept, report = _scalar_pass(df, gates)
+    if gates:
+        kept = kept.localCheckpoint()
 
-    aggs = [F.count(F.lit(1)).alias("input")]
-    conj = None
-    for name, pred in gates:
-        conj = pred if conj is None else (conj & pred)
-        aggs.append(F.sum(F.when(conj, 1).otherwise(0)).alias(name))
-    row = df.agg(*aggs).collect()[0]
-    report["input"] = row["input"]
-    for name, _ in gates:
-        report[name] = row[name]
-    if conj is not None:
-        kept = kept.where(conj).localCheckpoint()
-
-    if dedup == "exact":
-        from kmtricks_spark.operators.dedup import exact_dedup
-
-        keep_ids = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
-            F.col("keep_id").alias(id_col)
-        )
-        kept = kept.join(keep_ids, id_col).localCheckpoint()
-        report["after_dedup"] = kept.count()
-    elif dedup == "minhash":
-        from kmtricks_spark.operators.dedup import (
-            dedup_keep_set,
-            minhash_lsh_pairs,
-            minhash_signatures,
-        )
-
-        # spread before the signature mapInPandas: a freshly-scanned
-        # parquet often has ~1 row group and would compute every
-        # signature on one core
-        src = kept.select(id_col, text_col).repartition(
-            kept.sparkSession.sparkContext.defaultParallelism
-        )
-        sigs = minhash_signatures(src, id_col=id_col, text_col=text_col)
-        pairs = minhash_lsh_pairs(sigs, min_jaccard=min_jaccard)
-        kept = dedup_keep_set(
-            kept, pairs.select("a", "b"), id_col=id_col, algorithm=cluster_algorithm
+    if dedup is not None:
+        kept = _dedup_gate(
+            kept, dedup, min_jaccard, text_col, id_col, cluster_algorithm
         ).localCheckpoint()
         report["after_dedup"] = kept.count()
-    elif dedup is not None:
-        raise ValueError(f"dedup must be None|exact|minhash, got {dedup!r}")
 
     if semantic is not None:
-        # SemDeDup gate over an embedding column riding on the corpus
-        # rows: IVF-clustered within-cluster cosine pruning, no
-        # all-pairs. n_lists adapts down for small survivor sets (the
-        # trainer needs >= n_lists sample rows); at corpus scale the
-        # cap of 16 is the knob a caller would raise via semantic_dedup
-        # directly.
-        if vec_col not in kept.columns:
-            raise ValueError(
-                f"semantic dedup needs an embedding column {vec_col!r} in the input"
-            )
-        from kmtricks_spark.operators.similarity import semantic_dedup
-
-        survivors = report[list(report)[-1]] if len(report) > 0 else kept.count()
-        kept = semantic_dedup(
-            kept,
-            threshold=semantic,
-            n_lists=max(1, min(16, int(survivors))),
-            vec_col=vec_col,
-            id_col=id_col,
-            cluster_algorithm=cluster_algorithm,
+        survivors = report[list(report)[-1]]
+        kept = _semantic_gate(
+            kept, semantic, vec_col, id_col, cluster_algorithm, survivors
         ).localCheckpoint()
         report["after_semantic"] = kept.count()
 
     if max_dup_coverage is not None:
-        from kmtricks_spark.operators.dedup import (
-            dup_span_coverage,
-            duplicate_spans,
-            release_persisted,
+        out, spans = _span_gate(
+            kept, max_dup_coverage, span, stride, text_col, id_col
         )
-
-        if not (0.0 <= max_dup_coverage <= 1.0):
-            raise ValueError(f"max_dup_coverage must be in [0,1], got {max_dup_coverage}")
-        spans = duplicate_spans(
-            kept, span=span, stride=stride, text_col=text_col, id_col=id_col
-        )
-        heavy = (
-            dup_span_coverage(kept, spans, span=span, text_col=text_col, id_col=id_col)
-            .where(F.col("coverage") > max_dup_coverage)
-            .select(F.col("doc_id").alias(id_col))
-        )
-        kept = kept.join(heavy, id_col, "left_anti").localCheckpoint()
+        kept = out.localCheckpoint()
         report["after_span_dedup"] = kept.count()
         # duplicate_spans persists its span frame (the two-consumer
         # exchange share); the checkpoint above cut our lineage to it,
@@ -174,21 +248,165 @@ def curate(
         release_persisted(spans)
 
     if decontaminate is not None:
-        from kmtricks_spark.operators.dedup import benchmark_contamination
-
-        # drop every doc sharing an n-gram with the benchmark set
-        # (GPT-3-style test-set hygiene); only contaminated doc_ids are
-        # kept from the screen, so a synthesized bench id is fine (it
-        # never reaches the output) and the anti-join side is tiny
-        bench = decontaminate
-        if "bench_id" not in bench.columns:
-            bench = bench.withColumn("bench_id", F.monotonically_increasing_id())
-        hits = benchmark_contamination(
-            kept, bench, n=contamination_n,
-            text_col=text_col, id_col=id_col, bench_text_col=text_col,
-        ).select(F.col("doc_id").alias(id_col)).distinct()
-        kept = kept.join(hits, id_col, "left_anti").localCheckpoint()
+        kept = _decontam_gate(
+            kept, decontaminate, contamination_n, text_col, id_col
+        ).localCheckpoint()
         report["after_decontam"] = kept.count()
 
     report["removed"] = report["input"] - report[list(report)[-1]]
+    return kept, report
+
+
+# ------------------------------------------------------ persisted-run API
+
+def curate_run(
+    spark: SparkSession,
+    run_dir: str,
+    input_path: str,
+    until: str | None = None,
+    min_quality: float | None = 0.5,
+    gopher: bool = False,
+    langs: list[str] | None = None,
+    dedup: str | None = "exact",
+    min_jaccard: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_algorithm: str = "star",
+    decontaminate_path: str | None = None,
+    contamination_n: int = 8,
+    max_dup_coverage: float | None = None,
+    span: int = 40,
+    stride: int = 10,
+    semantic: float | None = None,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """The curation funnel with the count pipeline's operational
+    semantics (plans/pipeline.py / plans/lineage.py): every enabled gate
+    persists its survivors as a parquet stage table under
+    <run_dir>/<stage>/ plus a lineage JSON (params, row counts,
+    content checksum). A re-run skips gates whose lineage matches and
+    whose table is readable — kill-and-rerun resumes past completed
+    gates; changing any knob that feeds a gate invalidates that gate
+    and everything downstream (params mismatch). `until` stops after
+    the named stage ('scalar'|'dedup'|'semantic'|'span'|'decontam').
+
+    The parquet table IS the inter-stage materialization (no
+    localCheckpoint here — survivors are written once and re-read), so
+    a resumed funnel never recomputes an upstream gate. Returns
+    (survivors_of_last_completed_stage, report) with the report
+    reconstructed from lineage on resume.
+    """
+    from kmtricks_spark.operators.dedup import release_persisted
+    from kmtricks_spark.plans.lineage import read_lineage, stage_complete, write_lineage
+    from kmtricks_spark.sources.pages import read_stage, write_stage
+
+    if until is not None and until not in CURATE_STAGES:
+        raise ValueError(f"until must be one of {CURATE_STAGES}")
+    base_params = {
+        "input": os.path.realpath(input_path),
+        "min_quality": min_quality, "gopher": gopher, "langs": langs,
+        "dedup": dedup, "min_jaccard": min_jaccard,
+        "text_col": text_col, "id_col": id_col,
+        "cluster_algorithm": cluster_algorithm,
+        "decontaminate": (
+            os.path.realpath(decontaminate_path) if decontaminate_path else None
+        ),
+        "contamination_n": contamination_n,
+        "max_dup_coverage": max_dup_coverage, "span": span, "stride": stride,
+        "semantic": semantic, "vec_col": vec_col,
+    }
+    enabled = {
+        "scalar": bool(_scalar_gates(min_quality, gopher, langs, text_col)),
+        "dedup": dedup is not None,
+        "semantic": semantic is not None,
+        "span": max_dup_coverage is not None,
+        "decontam": decontaminate_path is not None,
+    }
+
+    report: dict = {}
+    kept = spark.read.parquet(input_path)
+    status: dict = {}
+
+    def params_of(stage: str) -> dict:
+        return {**base_params, "stage": stage}
+
+    def finish(stage: str, out: DataFrame, extra_report: dict) -> DataFrame:
+        write_stage(out, run_dir, stage)
+        table = read_stage(spark, run_dir, stage)
+        write_lineage(
+            run_dir, stage, params_of(stage), table, part_col=None,
+            extra={"report": {k: int(v) for k, v in extra_report.items()}},
+        )
+        report.update(extra_report)
+        status[stage] = "done"
+        return table
+
+    _after_key = {
+        "dedup": "after_dedup", "semantic": "after_semantic",
+        "span": "after_span_dedup", "decontam": "after_decontam",
+    }
+
+    def resume(stage: str) -> DataFrame:
+        rec = read_lineage(run_dir, stage)
+        report.update(rec.get("report", {}))
+        if stage in _after_key:
+            report[_after_key[stage]] = rec["output_rows"]
+        status[stage] = "skipped"
+        return read_stage(spark, run_dir, stage)
+
+    for stage in CURATE_STAGES:
+        if not enabled[stage]:
+            status[stage] = "disabled"
+            if until == stage:
+                break
+            continue
+        if stage_complete(spark, run_dir, stage, params_of(stage)):
+            kept = resume(stage)
+        elif stage == "scalar":
+            gates = _scalar_gates(min_quality, gopher, langs, text_col)
+            out, rep = _scalar_pass(kept, gates)
+            kept = finish(stage, out, rep)
+        elif stage == "dedup":
+            if "input" not in report:
+                report["input"] = kept.count()
+            out = _dedup_gate(
+                kept, dedup, min_jaccard, text_col, id_col, cluster_algorithm
+            )
+            kept = finish(stage, out, {"input": report["input"]})
+            report["after_dedup"] = read_lineage(run_dir, stage)["output_rows"]
+        elif stage == "semantic":
+            if "input" not in report:
+                report["input"] = kept.count()
+            survivors = report[list(report)[-1]]
+            out = _semantic_gate(
+                kept, semantic, vec_col, id_col, cluster_algorithm, survivors
+            )
+            kept = finish(stage, out, {"input": report["input"]})
+            report["after_semantic"] = read_lineage(run_dir, stage)["output_rows"]
+        elif stage == "span":
+            if "input" not in report:
+                report["input"] = kept.count()
+            out, spans = _span_gate(
+                kept, max_dup_coverage, span, stride, text_col, id_col
+            )
+            kept = finish(stage, out, {"input": report["input"]})
+            release_persisted(spans)
+            report["after_span_dedup"] = read_lineage(run_dir, stage)["output_rows"]
+        elif stage == "decontam":
+            if "input" not in report:
+                report["input"] = kept.count()
+            out = _decontam_gate(
+                kept, spark.read.parquet(decontaminate_path), contamination_n,
+                text_col, id_col,
+            )
+            kept = finish(stage, out, {"input": report["input"]})
+            report["after_decontam"] = read_lineage(run_dir, stage)["output_rows"]
+        if until == stage:
+            break
+
+    if "input" not in report:  # nothing enabled at all
+        report["input"] = kept.count()
+    last = [k for k in report if k.startswith("after_")]
+    report["removed"] = report["input"] - (report[last[-1]] if last else report["input"])
+    report["stages"] = status
     return kept, report

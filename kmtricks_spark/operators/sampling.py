@@ -157,9 +157,16 @@ def deterministic_group_sample(
         F.concat(F.lit("v"), F.col(strata_col).cast("string"))
     )
     # group sizes + per-group thresholds, fully distributed (no driver
-    # collect of the strata universe — strata can be high-cardinality);
+    # collect of the strata universe as PYTHON OBJECTS/plan literals);
     # sizes is checkpointed (tiny: one row per stratum) so its scan of
-    # df runs once, not once per consumer below
+    # df runs once, not once per consumer below. Practical bound: the
+    # per-stratum threshold table IS broadcast below (one slim row per
+    # stratum), so stratum cardinality is limited by the broadcast
+    # budget — ~10^7 strata (a few hundred MB) is the ceiling, far
+    # above any lang/domain/bucket stratification but NOT unbounded; a
+    # beyond-that caller should shuffle-join thdf instead (drop the two
+    # broadcast hints — the checkpointed build side has no stats, so
+    # Catalyst then plans sort-merge on __sk)
     sizes = (
         df.select(sk.alias("__sk")).groupBy("__sk").agg(F.count(F.lit(1)).alias("__n"))
         .localCheckpoint()

@@ -329,3 +329,97 @@ def test_demoted_oracles_still_hash_match(spark, sf_dir):
         assert sorted(sdf.columns) == sorted(odf.columns), name
         assert len(sdf) == len(odf), (name, len(sdf), len(odf))
         assert value_hash(sdf) == value_hash(odf), name
+
+
+# --------------------------------------------- curate_run (resume story)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli5(args, timeout=300):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_spark.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=_REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+
+
+def test_curate_run_resume_skips_completed_gates(spark, sf_dir, tmp_path):
+    """Full persisted run, then an identical re-run: every enabled gate
+    is skipped (lineage timestamps untouched) and the report is
+    rebuilt from lineage byte-for-byte."""
+    from kmtricks_spark.operators.curation import curate_run
+    from kmtricks_spark.plans.lineage import read_lineage
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "crun")
+    kept1, rep1 = curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
+    assert rep1["stages"] == {
+        "scalar": "done", "dedup": "done", "semantic": "disabled",
+        "span": "disabled", "decontam": "disabled",
+    }
+    ts = {s: read_lineage(rd, s)["ts"] for s in ("scalar", "dedup")}
+    kept2, rep2 = curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
+    assert rep2["stages"]["scalar"] == "skipped" and rep2["stages"]["dedup"] == "skipped"
+    assert {s: read_lineage(rd, s)["ts"] for s in ("scalar", "dedup")} == ts
+    for k in ("input", "after_quality", "after_dedup", "removed"):
+        assert rep1[k] == rep2[k], (k, rep1, rep2)
+    assert kept1.count() == kept2.count()
+
+
+def test_curate_run_kill_rerun_and_matches_in_session(spark, sf_dir, tmp_path):
+    """until='scalar' (a killed run's prefix), then the full run resumes
+    past it; survivors == the in-session curate() on the same corpus."""
+    from kmtricks_spark.operators.curation import curate, curate_run
+    from kmtricks_spark.plans.lineage import read_lineage
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "crun2")
+    _, rep_partial = curate_run(
+        spark, rd, inp, until="scalar", min_quality=0.5, dedup="exact"
+    )
+    assert rep_partial["stages"] == {"scalar": "done", "dedup": "disabled"} or \
+        rep_partial["stages"].get("dedup") != "done"
+    ts_scalar = read_lineage(rd, "scalar")["ts"]
+    kept, rep = curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
+    assert rep["stages"]["scalar"] == "skipped" and rep["stages"]["dedup"] == "done"
+    assert read_lineage(rd, "scalar")["ts"] == ts_scalar
+    docs = spark.read.parquet(inp)
+    kept_mem, rep_mem = curate(docs, min_quality=0.5, dedup="exact")
+    assert rep["after_dedup"] == rep_mem["after_dedup"]
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {
+        r.doc_id for r in kept_mem.select("doc_id").collect()
+    }
+
+
+def test_curate_run_param_change_invalidates(spark, sf_dir, tmp_path):
+    from kmtricks_spark.operators.curation import curate_run
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "crun3")
+    curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
+    _, rep = curate_run(spark, rd, inp, min_quality=0.7, dedup="exact")
+    assert rep["stages"]["scalar"] == "done"  # re-ran, not skipped
+    assert rep["stages"]["dedup"] == "done"
+    with pytest.raises(ValueError, match="until"):
+        curate_run(spark, rd, inp, until="nope")
+
+
+def test_cli_curate_run_dir(sf_dir, tmp_path):
+    inp = os.path.join(sf_dir, "documents.parquet")
+    out = str(tmp_path / "curated.parquet")
+    rd = str(tmp_path / "cli_run")
+    rec = _cli5([
+        "curate", "--input", inp, "--output", out, "--run-dir", rd,
+        "--min-quality", "0.5", "--dedup", "exact", "--cores", "8",
+    ])
+    assert rec["curate"] == "done"
+    assert rec["stages"]["scalar"] == "done" and rec["stages"]["dedup"] == "done"
+    rec2 = _cli5([
+        "curate", "--input", inp, "--output", out, "--run-dir", rd,
+        "--min-quality", "0.5", "--dedup", "exact", "--cores", "8",
+    ])
+    assert rec2["stages"]["scalar"] == "skipped"
+    assert rec2["after_dedup"] == rec["after_dedup"]
