@@ -219,10 +219,11 @@ def bench_queries(spark) -> dict[str, float]:
     # cumsum (shards = defaultParallelism) then the explode+clamp slices
     from kmtricks_spark.operators.packing import pack_bins, pack_sequences
 
-    out["pack_sequences"] = _timed(
+    # key is 'pack_stream' because the leg times the COMPOSITE
+    # pack_sequences -> pack_bins layout job, not pack_sequences alone
+    out["pack_stream"] = _timed(
         lambda: pack_bins(
             pack_sequences(d.select("doc_id", "text"), max_tokens=2048),
-            max_tokens=2048,
         ).agg(F.sum("len"), F.count(F.lit(1))).collect()
     )
 

@@ -188,6 +188,10 @@ def main(argv=None):
                           "(IVF-clustered within-cluster pruning)")
     cur.add_argument("--vec-col", type=str, default="embedding",
                      help="embedding column for --semantic")
+    cur.add_argument("--semantic-n-lists", type=int, default=None,
+                     help="IVF cluster count for --semantic (default "
+                          "adapts to min(16, survivors) — set ~sqrt(N) "
+                          "at corpus scale)")
     cur.add_argument("--run-dir", default=None,
                      help="persisted-stage mode: each gate writes its "
                           "survivors + lineage under this dir; a re-run "
@@ -252,6 +256,7 @@ def main(argv=None):
                     stride=args.stride,
                     semantic=args.semantic,
                     vec_col=args.vec_col,
+                    semantic_n_lists=args.semantic_n_lists,
                 )
                 kept.write.mode("overwrite").parquet(args.output)
                 print(json.dumps({"curate": "done", "output": args.output, **report}))
@@ -274,6 +279,7 @@ def main(argv=None):
                 stride=args.stride,
                 semantic=args.semantic,
                 vec_col=args.vec_col,
+                semantic_n_lists=args.semantic_n_lists,
             )
             kept.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"curate": "done", "output": args.output, **report}))

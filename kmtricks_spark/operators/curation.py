@@ -57,7 +57,11 @@ def _scalar_pass(
     conj = None
     for name, pred in gates:
         conj = pred if conj is None else (conj & pred)
-        aggs.append(F.sum(F.when(conj, 1).otherwise(0)).alias(name))
+        # count(when(...)) not sum(when/otherwise): count of an
+        # all-null column is 0, so an EMPTY corpus reports 0 per gate
+        # instead of null (sum over zero rows is null -> downstream
+        # arithmetic would crash)
+        aggs.append(F.count(F.when(conj, F.lit(1))).alias(name))
     row = df.agg(*aggs).collect()[0]
     report = {"input": row["input"], **{name: row[name] for name, _ in gates}}
     return (df.where(conj) if conj is not None else df), report
@@ -97,23 +101,29 @@ def _dedup_gate(
 
 def _semantic_gate(
     kept: DataFrame, semantic: float, vec_col: str, id_col: str,
-    cluster_algorithm: str, survivors: int,
+    cluster_algorithm: str, survivors: int, n_lists: int | None,
 ) -> DataFrame:
     # SemDeDup gate over an embedding column riding on the corpus rows:
     # IVF-clustered within-cluster cosine pruning, no all-pairs.
-    # n_lists adapts down for small survivor sets (the trainer needs
-    # >= n_lists sample rows); at corpus scale the cap of 16 is the
-    # knob a caller would raise via semantic_dedup directly.
+    # n_lists=None adapts: min(16, survivors) keeps the trainer fed on
+    # small survivor sets; at corpus scale the caller MUST raise it
+    # (semantic_n_lists / --semantic-n-lists) or the within-cluster
+    # pair space degrades toward N^2/16. survivors==0 short-circuits
+    # (nothing to dedup; ivf_train on an empty frame would raise).
     if vec_col not in kept.columns:
         raise ValueError(
             f"semantic dedup needs an embedding column {vec_col!r} in the input"
         )
+    if survivors == 0:
+        return kept
     from kmtricks_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
         kept,
         threshold=semantic,
-        n_lists=max(1, min(16, int(survivors))),
+        n_lists=(
+            max(1, min(16, int(survivors))) if n_lists is None else int(n_lists)
+        ),
         vec_col=vec_col,
         id_col=id_col,
         cluster_algorithm=cluster_algorithm,
@@ -180,6 +190,7 @@ def curate(
     stride: int = 10,
     semantic: float | None = None,
     vec_col: str = "embedding",
+    semantic_n_lists: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -201,6 +212,11 @@ def curate(
     semantic: optional cosine threshold — SemDeDup gate over `vec_col`
     (IVF-clustered within-cluster pruning, semantic_dedup), reported as
     'after_semantic'; requires the embedding column on the corpus rows.
+    semantic_n_lists: IVF cluster count for the semantic gate; None
+    adapts (min(16, survivors)) which is right for small corpora only —
+    at corpus scale SET THIS (clusters ~ sqrt(N) keeps the
+    within-cluster pair space linear-ish; the cap exists because
+    ivf_train needs >= n_lists sample rows).
 
     Scale shape: quality, gopher, and lang are pure per-row Column
     predicates, so they are fused into ONE corpus scan — one conditional
@@ -231,7 +247,8 @@ def curate(
     if semantic is not None:
         survivors = report[list(report)[-1]]
         kept = _semantic_gate(
-            kept, semantic, vec_col, id_col, cluster_algorithm, survivors
+            kept, semantic, vec_col, id_col, cluster_algorithm, survivors,
+            semantic_n_lists,
         ).localCheckpoint()
         report["after_semantic"] = kept.count()
 
@@ -279,6 +296,7 @@ def curate_run(
     stride: int = 10,
     semantic: float | None = None,
     vec_col: str = "embedding",
+    semantic_n_lists: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """The curation funnel with the count pipeline's operational
     semantics (plans/pipeline.py / plans/lineage.py): every enabled gate
@@ -286,9 +304,12 @@ def curate_run(
     <run_dir>/<stage>/ plus a lineage JSON (params, row counts,
     content checksum). A re-run skips gates whose lineage matches and
     whose table is readable — kill-and-rerun resumes past completed
-    gates; changing any knob that feeds a gate invalidates that gate
-    and everything downstream (params mismatch). `until` stops after
-    the named stage ('scalar'|'dedup'|'semantic'|'span'|'decontam').
+    gates. Lineage params are scoped per gate (own knobs + enabled
+    upstream knobs), so changing a knob invalidates exactly its gate
+    and everything downstream, while enabling a NEW downstream gate on
+    a completed run reuses the upstream stages as-is. `until` stops
+    after the named stage ('scalar'|'dedup'|'semantic'|'span'|
+    'decontam').
 
     The parquet table IS the inter-stage materialization (no
     localCheckpoint here — survivors are written once and re-read), so
@@ -302,18 +323,32 @@ def curate_run(
 
     if until is not None and until not in CURATE_STAGES:
         raise ValueError(f"until must be one of {CURATE_STAGES}")
-    base_params = {
+    # params are scoped PER GATE and accumulated down the funnel: a
+    # stage's lineage binds its own knobs plus every ENABLED upstream
+    # gate's knobs (its input provenance). Changing a knob therefore
+    # invalidates exactly its gate and everything downstream, while
+    # ENABLING a new downstream gate (e.g. adding --semantic to a
+    # completed run) leaves upstream lineage valid and resumes from the
+    # last completed stage.
+    stage_params = {
+        "scalar": {"min_quality": min_quality, "gopher": gopher, "langs": langs},
+        "dedup": {"dedup": dedup, "min_jaccard": min_jaccard,
+                  "cluster_algorithm": cluster_algorithm},
+        "semantic": {"semantic": semantic, "vec_col": vec_col,
+                     "cluster_algorithm": cluster_algorithm,
+                     "semantic_n_lists": semantic_n_lists},
+        "span": {"max_dup_coverage": max_dup_coverage, "span": span,
+                 "stride": stride},
+        "decontam": {
+            "decontaminate": (
+                os.path.realpath(decontaminate_path) if decontaminate_path else None
+            ),
+            "contamination_n": contamination_n,
+        },
+    }
+    common = {
         "input": os.path.realpath(input_path),
-        "min_quality": min_quality, "gopher": gopher, "langs": langs,
-        "dedup": dedup, "min_jaccard": min_jaccard,
         "text_col": text_col, "id_col": id_col,
-        "cluster_algorithm": cluster_algorithm,
-        "decontaminate": (
-            os.path.realpath(decontaminate_path) if decontaminate_path else None
-        ),
-        "contamination_n": contamination_n,
-        "max_dup_coverage": max_dup_coverage, "span": span, "stride": stride,
-        "semantic": semantic, "vec_col": vec_col,
     }
     enabled = {
         "scalar": bool(_scalar_gates(min_quality, gopher, langs, text_col)),
@@ -328,7 +363,14 @@ def curate_run(
     status: dict = {}
 
     def params_of(stage: str) -> dict:
-        return {**base_params, "stage": stage}
+        p = dict(common)
+        for s in CURATE_STAGES:
+            if enabled[s]:
+                p.update(stage_params[s])
+            if s == stage:
+                break
+        p["stage"] = stage
+        return p
 
     def finish(stage: str, out: DataFrame, extra_report: dict) -> DataFrame:
         write_stage(out, run_dir, stage)
@@ -379,7 +421,8 @@ def curate_run(
                 report["input"] = kept.count()
             survivors = report[list(report)[-1]]
             out = _semantic_gate(
-                kept, semantic, vec_col, id_col, cluster_algorithm, survivors
+                kept, semantic, vec_col, id_col, cluster_algorithm, survivors,
+                semantic_n_lists,
             )
             kept = finish(stage, out, {"input": report["input"]})
             report["after_semantic"] = read_lineage(run_dir, stage)["output_rows"]

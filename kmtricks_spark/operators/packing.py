@@ -61,7 +61,7 @@ def pack_sequences(
         .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         base.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .select(
             "shard",
@@ -74,10 +74,14 @@ def pack_sequences(
             .alias("bin_end"),
         )
     )
+    # self-describing hand-off: pack_bins derives/validates the window
+    # size from this instead of trusting a re-typed parameter
+    out._km_max_tokens = max_tokens
+    return out
 
 
 def pack_bins(
-    packed: DataFrame, max_tokens: int, id_col: str = "doc_id"
+    packed: DataFrame, max_tokens: int | None = None, id_col: str = "doc_id"
 ) -> DataFrame:
     """The per-window slice manifest a training loader actually consumes:
     one row per (training window, document slice) — (shard, bin, doc_id,
@@ -86,11 +90,32 @@ def pack_bins(
     emits one row per window it touches; every window's slices sum to
     exactly max_tokens (the last window of each shard may be short).
 
+    `max_tokens` is a PROPERTY of the packed frame (its bin_start /
+    bin_end were computed with it): when `packed` came straight from
+    pack_sequences in this session the value rides on the frame and may
+    be omitted; passing a CONTRADICTING value raises (it would silently
+    emit negative/overlapping slice lengths). After a write/read
+    round-trip the attribute is gone and the caller must restate the
+    layout's window size explicitly.
+
     Pure gaps-and-islands arithmetic over pack_sequences' offsets —
     explode the doc's window range, clamp both ends. No shuffle beyond
     what `packed` already did; the explode fan-out is bounded by
     ceil(n_tokens / max_tokens) + 1 rows per doc.
     """
+    carried = getattr(packed, "_km_max_tokens", None)
+    if max_tokens is None:
+        if carried is None:
+            raise ValueError(
+                "max_tokens required: the packed frame does not carry its "
+                "window size (e.g. it was read back from parquet)"
+            )
+        max_tokens = carried
+    elif carried is not None and carried != max_tokens:
+        raise ValueError(
+            f"max_tokens={max_tokens} contradicts the packed frame's window "
+            f"size {carried} — slices would be corrupt (negative/overlapping)"
+        )
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     b = F.col("bin").cast("long")

@@ -423,3 +423,67 @@ def test_cli_curate_run_dir(sf_dir, tmp_path):
     ])
     assert rec2["stages"]["scalar"] == "skipped"
     assert rec2["after_dedup"] == rec["after_dedup"]
+
+
+# -------------------------------------------- code-review fixes (r5)
+
+def test_curate_empty_corpus(spark):
+    """Empty input: gate counts are 0, not null (count(when) semantics)."""
+    from kmtricks_spark.operators.curation import curate
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    kept, report = curate(empty, min_quality=0.5, gopher=True, dedup=None)
+    assert report == {"input": 0, "after_quality": 0, "after_gopher": 0, "removed": 0}
+    assert kept.count() == 0
+
+
+def test_curate_semantic_zero_survivors(spark, sf_dir):
+    """All rows killed upstream: the semantic gate passes the empty
+    frame through instead of crashing in ivf_train."""
+    from kmtricks_spark.operators.curation import curate
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding",
+        F.lit("x").alias("text"),  # fails every quality band
+    )
+    kept, report = curate(emb, min_quality=0.9, dedup=None, semantic=0.99)
+    assert report["after_quality"] == 0 and report["after_semantic"] == 0
+    assert kept.count() == 0
+
+
+def test_curate_run_adding_downstream_gate_keeps_upstream(spark, sf_dir, tmp_path):
+    """Per-gate param scoping: enabling a NEW downstream gate on a
+    completed run reuses the completed upstream stages."""
+    from kmtricks_spark.operators.curation import curate_run
+    from kmtricks_spark.plans.lineage import read_lineage
+
+    inp = os.path.join(sf_dir, "documents.parquet")
+    rd = str(tmp_path / "extend")
+    curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
+    ts = {s: read_lineage(rd, s)["ts"] for s in ("scalar", "dedup")}
+    _, rep = curate_run(
+        spark, rd, inp, min_quality=0.5, dedup="exact", max_dup_coverage=0.9
+    )
+    assert rep["stages"]["scalar"] == "skipped"
+    assert rep["stages"]["dedup"] == "skipped"
+    assert rep["stages"]["span"] == "done"
+    assert {s: read_lineage(rd, s)["ts"] for s in ("scalar", "dedup")} == ts
+    # changing only the downstream knob re-runs only that gate
+    _, rep2 = curate_run(
+        spark, rd, inp, min_quality=0.5, dedup="exact", max_dup_coverage=0.8
+    )
+    assert rep2["stages"]["scalar"] == "skipped"
+    assert rep2["stages"]["dedup"] == "skipped"
+    assert rep2["stages"]["span"] == "done"
+
+
+def test_pack_bins_window_size_rides_on_frame(spark, docs):
+    from kmtricks_spark.operators.packing import pack_bins, pack_sequences
+
+    packed = pack_sequences(docs.select("doc_id", "text"), max_tokens=128, n_shards=4)
+    assert pack_bins(packed).count() == pack_bins(packed, 128).count()
+    with pytest.raises(ValueError, match="contradicts"):
+        pack_bins(packed, 256)
+    stripped = packed.select("*")  # attribute does not survive a transform
+    with pytest.raises(ValueError, match="max_tokens required"):
+        pack_bins(stripped)
