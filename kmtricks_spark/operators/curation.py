@@ -118,12 +118,15 @@ def _semantic_gate(
         return kept
     from kmtricks_spark.operators.similarity import semantic_dedup
 
+    # explicit n_lists is still capped by the survivor count (ivf_train
+    # cannot place more centroids than it has training rows — a
+    # corpus-sized value over a small survivor set would otherwise
+    # crash AFTER the upstream gates already ran)
+    cap = 16 if n_lists is None else int(n_lists)
     return semantic_dedup(
         kept,
         threshold=semantic,
-        n_lists=(
-            max(1, min(16, int(survivors))) if n_lists is None else int(n_lists)
-        ),
+        n_lists=max(1, min(cap, int(survivors))),
         vec_col=vec_col,
         id_col=id_col,
         cluster_algorithm=cluster_algorithm,
@@ -233,6 +236,8 @@ def curate(
     """
     from kmtricks_spark.operators.dedup import release_persisted
 
+    if semantic_n_lists is not None and semantic_n_lists < 1:
+        raise ValueError(f"semantic_n_lists must be >= 1, got {semantic_n_lists}")
     gates = _scalar_gates(min_quality, gopher, langs, text_col)
     kept, report = _scalar_pass(df, gates)
     if gates:
@@ -323,6 +328,8 @@ def curate_run(
 
     if until is not None and until not in CURATE_STAGES:
         raise ValueError(f"until must be one of {CURATE_STAGES}")
+    if semantic_n_lists is not None and semantic_n_lists < 1:
+        raise ValueError(f"semantic_n_lists must be >= 1, got {semantic_n_lists}")
     # params are scoped PER GATE and accumulated down the funnel: a
     # stage's lineage binds its own knobs plus every ENABLED upstream
     # gate's knobs (its input provenance). Changing a knob therefore

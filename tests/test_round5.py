@@ -487,3 +487,19 @@ def test_pack_bins_window_size_rides_on_frame(spark, docs):
     stripped = packed.select("*")  # attribute does not survive a transform
     with pytest.raises(ValueError, match="max_tokens required"):
         pack_bins(stripped)
+
+
+def test_curate_semantic_n_lists_validated_and_capped(spark, sf_dir):
+    from kmtricks_spark.operators.curation import curate
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding",
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="semantic_n_lists"):
+        curate(emb, min_quality=None, dedup=None, semantic=0.99, semantic_n_lists=0)
+    # corpus-sized value over a small survivor set: capped, not crashed
+    kept, report = curate(
+        emb, min_quality=None, dedup=None, semantic=0.99, semantic_n_lists=100_000
+    )
+    assert report["after_semantic"] == report["input"]
