@@ -580,6 +580,26 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(both, threshold=0.99, n_lists=8).select("vec_id", "label")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-window chunking (embedding/RAG prep),
+    hash-matched: every (doc, chunk) row with start / length / text —
+    pure explode+substring, the whole chunk table is SQL-stated."""
+    from kmtricks_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), chunk=200, overlap=40
+    )
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization of the embeddings table, hash-matched:
+    per-vector max-abs scale + floor(x/s*127+0.5) components (floor is
+    IEEE-exact in both engines; round() half-cases are not portable)."""
+    from kmtricks_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_hll_union_bounds(spark, sf_dir):
     """HLL estimate vs SQL-exact distinct, pinned INSIDE the driver
     window as booleans: per sample, |est - exact| / exact must sit
@@ -953,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_filter_v": _q_filter_v,
         "matrix_filter_m": _q_filter_m,
         "kll_count_distribution": _q_kll_count_dist,
+        "chunk_documents": _q_chunk_documents,
+        "quantize_embeddings": _q_quantize_embeddings,
         "dup_span_coverage": _q_dup_span_coverage,
         "histogram_oob": _q_histogram_oob,
         "soft_min_thresholds_bounded": _q_thresholds_bounded,
@@ -1594,6 +1616,29 @@ def oracle_sql() -> dict[str, str]:
         # exactly the planted copies, so survivors == the base table
         "semantic_dedup": """
         SELECT vec_id, label FROM embeddings
+        """,
+        # chunk=200, overlap=40 -> step 160; chunk_id = (start-1)/step
+        "chunk_documents": """
+        SELECT doc_id, ((i - 1) // 160)::INT AS chunk_id, i::INT AS start,
+               length(substring(text, i, 200))::INT AS chunk_len,
+               substring(text, i, 200) AS chunk_text
+        FROM documents, LATERAL unnest(generate_series(1, length(text), 160)) t(i)
+        WHERE length(text) >= 1
+        """,
+        # same float64 arithmetic both engines; floor(+0.5) is the
+        # portable rounding (round() half-cases differ by dialect)
+        "quantize_embeddings": """
+        WITH m AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM m
+        )
+        SELECT vec_id, sc AS scale,
+               CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> floor(x / sc * 127 + 0.5)::INT)
+               END AS qvec
+        FROM s
         """,
         # the estimate must land within the published 3-sigma HLL bound
         # on every sample -> within_bounds is deterministically true;

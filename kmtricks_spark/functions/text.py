@@ -347,3 +347,45 @@ def pii_redact(
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return df.select(F.col(id_col), F.col(text_col), c.alias(out_col))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-window character chunking — the embedding/RAG
+    prep step (split long documents into model-window-sized pieces with
+    `overlap` chars of context carry-over). Returns (doc_id, chunk_id,
+    start, chunk_len, chunk_text): starts at 1, 1+step, ... with
+    step = chunk - overlap; trailing chunks may be shorter; empty docs
+    emit nothing; chunk_id = (start-1)/step (deterministic, no window
+    function needed).
+
+    Pure explode(sequence) + substring Column expressions — stays in
+    whole-stage codegen, no shuffle, no Python; the fan-out per doc is
+    ceil(len/step) rows. SQL-expressible, so the whole chunk table is
+    oracle-checkable.
+    """
+    if chunk < 1 or overlap < 0 or overlap >= chunk:
+        raise ValueError(f"need chunk >= 1 and 0 <= overlap < chunk, got {chunk}/{overlap}")
+    step = chunk - overlap
+    c = F.col(text_col)
+    piece = F.substring(c, F.col("start"), chunk)
+    return (
+        df.where(F.length(c) >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(c), F.lit(step))).alias("start"),
+            c.alias("__t"),
+        )
+        .select(
+            id_col,
+            (((F.col("start") - 1) / step).cast("int")).alias("chunk_id"),
+            F.col("start").cast("int").alias("start"),
+            F.length(F.substring(F.col("__t"), F.col("start"), chunk)).alias("chunk_len"),
+            F.substring(F.col("__t"), F.col("start"), chunk).alias("chunk_text"),
+        )
+    )

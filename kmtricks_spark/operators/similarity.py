@@ -374,3 +374,29 @@ def semantic_pairs(
         .select("a", "b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """int8 scalar quantization of an embedding column — the memory/IO
+    scale lever for ANN at 10^12 vectors (4x smaller than float32,
+    8x smaller than the float64 compute form; IVF/LSH candidate
+    generation runs on the quantized vectors, exact re-rank on the
+    originals). Per-vector max-abs scale: q_i = floor(x_i/s*127 + 0.5)
+    in [-127, 127]; all-zero vectors get scale 0 and a zero qvec.
+
+    floor(+0.5) instead of round(): floor is IEEE-exact and identical
+    across engines, so the full quantized table hash-matches a SQL
+    oracle (round() half-case conventions differ by dialect). Pure
+    higher-order Column functions — no shuffle, no Python, codegen'd.
+    Reconstruction error is bounded by s/254 per component (tested).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / s * 127 + 0.5).cast("int"))
+    )
+    return df.select(
+        F.col(id_col), s.alias("scale"), q.cast("array<int>").alias("qvec")
+    )

@@ -312,6 +312,8 @@ def test_demoted_oracles_still_hash_match(spark, sf_dir):
         "matrix_filter_v", "matrix_filter_m", "kll_count_distribution",
         "dup_span_coverage", "histogram_oob", "soft_min_thresholds_bounded",
         "kll_rank",
+        # new r5 extras born past the cap (window already full):
+        "chunk_documents", "quantize_embeddings",
     ]
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)
@@ -503,3 +505,49 @@ def test_curate_semantic_n_lists_validated_and_capped(spark, sf_dir):
         emb, min_quality=None, dedup=None, semantic=0.99, semantic_n_lists=100_000
     )
     assert report["after_semantic"] == report["input"]
+
+
+# --------------------------------- chunking + embedding quantization
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from kmtricks_spark.functions.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        chunk_documents(d, chunk=4, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.start, r.chunk_len, r.chunk_text) for r in rows]
+    # doc 1 (len 10, step 2): starts 1,3,5,7,9 -> tail chunks shorten
+    assert got == [
+        (1, 0, 1, 4, "abcd"), (1, 1, 3, 4, "cdef"), (1, 2, 5, 4, "efgh"),
+        (1, 3, 7, 4, "ghij"), (1, 4, 9, 2, "ij"),
+        (2, 0, 1, 2, "xy"),
+    ]  # empty doc 3 emits nothing
+    # consecutive chunks overlap by exactly `overlap` chars
+    for a, b in zip(got, got[1:]):
+        if a[0] == b[0]:
+            assert b[2] - a[2] == 2
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk=4, overlap=4)
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark, sf_dir):
+    from kmtricks_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = quantize_embeddings(emb)
+    rows = q.join(emb, "vec_id").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(abs(v) <= 127 for v in r.qvec)
+        assert len(r.qvec) == len(r.embedding)
+        for x, qi in zip(r.embedding, r.qvec):
+            # reconstruction error bound: half a quantization step
+            assert abs(float(x) - qi * r.scale / 127) <= r.scale / 254 + 1e-9
+    # all-zero vector: scale 0, zero qvec (no division)
+    z = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    rz = quantize_embeddings(z).collect()[0]
+    assert rz.scale == 0.0 and list(rz.qvec) == [0, 0]
