@@ -689,6 +689,19 @@ def _q_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(docs, spans, span=40)
 
 
+def _q_trim_dup_spans(spark, sf_dir):
+    """The Lee et al. TRIM decision, hash-matched: duplicated merged
+    intervals are REMOVED from each doc's text (complement segments via
+    lag + ordered reassembly); unflagged docs byte-identical, fully-
+    covered docs trim to ''. The oracle reproduces islands, interval
+    complement, and ordered string_agg."""
+    from kmtricks_spark.operators.dedup import duplicate_spans, trim_dup_spans
+
+    docs = _dup_docs(spark, sf_dir)
+    spans = duplicate_spans(docs, span=40, stride=10)
+    return trim_dup_spans(docs, spans, span=40)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     sigs = minhash_signatures(_dup_docs(spark, sf_dir))
     return minhash_lsh_pairs(sigs, bands=16, rows_per_band=8, min_jaccard=0.8)
@@ -975,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_count_distribution": _q_kll_count_dist,
         "chunk_documents": _q_chunk_documents,
         "quantize_embeddings": _q_quantize_embeddings,
+        "trim_dup_spans": _q_trim_dup_spans,
         "dup_span_coverage": _q_dup_span_coverage,
         "histogram_oob": _q_histogram_oob,
         "soft_min_thresholds_bounded": _q_thresholds_bounded,
@@ -1559,6 +1573,65 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.dup_chars, 0)::BIGINT AS dup_chars,
                round(coalesce(c.dup_chars, 0) / length(d.text), 6) AS coverage
         FROM all_docs d LEFT JOIN c USING (doc_id)
+        """,
+        # islands + interval COMPLEMENT + ordered reassembly (the trim
+        # half of the Lee et al. decision); fully-covered docs -> ''
+        "trim_dup_spans": """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ),
+        s AS (
+          SELECT doc_id, i AS pos, md5(substring(text, i, 40)) AS h
+          FROM all_docs,
+               LATERAL unnest(generate_series(1, length(text) - 39, 10)) t(i)
+          WHERE length(text) >= 40
+        ),
+        hot AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        f AS (SELECT doc_id, pos FROM s JOIN hot USING (h)),
+        g AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos + 40) OVER w IS NULL
+                        OR pos > lag(pos + 40) OVER w
+                      THEN 1 ELSE 0 END AS brk
+          FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        i AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS isl
+          FROM g
+        ),
+        m AS (SELECT doc_id, min(pos) AS st, max(pos) + 40 AS en
+              FROM i GROUP BY doc_id, isl),
+        segs AS (
+          SELECT doc_id,
+                 coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS ss,
+                 st AS se
+          FROM m
+          UNION ALL
+          SELECT m.doc_id, max(m.en), NULL
+          FROM m GROUP BY m.doc_id
+        ),
+        p AS (
+          SELECT s.doc_id, s.ss,
+                 substring(d.text, s.ss::INT,
+                           (coalesce(s.se, length(d.text) + 1) - s.ss)::INT) AS piece
+          FROM segs s JOIN all_docs d USING (doc_id)
+          WHERE coalesce(s.se, length(d.text) + 1) > s.ss
+        ),
+        a AS (
+          SELECT doc_id, string_agg(piece, '' ORDER BY ss) AS txt
+          FROM p GROUP BY doc_id
+        ),
+        fl AS (SELECT DISTINCT doc_id FROM m)
+        SELECT d.doc_id,
+               CASE WHEN fl.doc_id IS NOT NULL THEN coalesce(a.txt, '')
+                    ELSE d.text END AS trimmed
+        FROM all_docs d
+        LEFT JOIN fl USING (doc_id)
+        LEFT JOIN a USING (doc_id)
         """,
         # same md5 order, same cumsum, same window arithmetic
         "pack_sequences": """

@@ -692,6 +692,77 @@ def dup_span_coverage(
     )
 
 
+def trim_dup_spans(
+    df: DataFrame,
+    spans_flagged: DataFrame,
+    span: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "trimmed",
+) -> DataFrame:
+    """The TRIM half of the Lee et al. 2022 substring-dedup decision:
+    instead of dropping a high-coverage document (dup_span_coverage +
+    threshold), REMOVE its merged duplicated intervals and keep the
+    unique remainder. Returns (id, out_col) for every row of df —
+    unflagged docs keep their text verbatim; fully-covered docs trim
+    to ''.
+
+    Shape: merged intervals per doc (merge_dup_spans — one doc_id
+    shuffle), complement segments via a lag window (interval ends are
+    disjoint and sorted, so the gap before each interval plus the tail
+    after the last IS the kept set), per-segment substring, then ordered
+    reassembly with array_sort(collect_list(struct(start, piece))) —
+    per-doc aggregation state is the doc's own segment list (bounded by
+    its flagged-span count), never corpus-scale.
+    """
+    iv = merge_dup_spans(spans_flagged, span)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    segs = iv.select(
+        "doc_id",
+        F.coalesce(F.lag("end_excl").over(w), F.lit(1)).alias("ss"),
+        F.col("start").alias("se"),
+    )
+    tail = (
+        iv.groupBy("doc_id").agg(F.max("end_excl").alias("ss"))
+        .join(base.select("doc_id", "__len"), "doc_id")
+        .select("doc_id", "ss", (F.col("__len") + 1).alias("se"))
+    )
+    pieces = (
+        segs.unionByName(tail)
+        .where(F.col("se") > F.col("ss"))
+        .join(base.select("doc_id", "__t"), "doc_id")
+        .select(
+            "doc_id", "ss",
+            F.col("__t").substr(F.col("ss"), F.col("se") - F.col("ss")).alias("piece"),
+        )
+    )
+    agg = pieces.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ss", "piece"))),
+                lambda s: s["piece"],
+            ),
+        ).alias("__txt")
+    )
+    flagged = iv.select("doc_id").distinct().withColumn("__f", F.lit(1))
+    return (
+        base.join(flagged, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("__f").isNull(), F.col("__t"))
+            .otherwise(F.coalesce(F.col("__txt"), F.lit("")))
+            .alias(out_col),
+        )
+    )
+
+
 def dup_span_stats(spans_flagged: DataFrame) -> DataFrame:
     """Per-doc rollup of duplicate_spans: (doc_id, n_dup_spans,
     n_distinct_dup_spans, min_pos) — the screening signal a curation

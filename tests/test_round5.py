@@ -313,7 +313,7 @@ def test_demoted_oracles_still_hash_match(spark, sf_dir):
         "dup_span_coverage", "histogram_oob", "soft_min_thresholds_bounded",
         "kll_rank",
         # new r5 extras born past the cap (window already full):
-        "chunk_documents", "quantize_embeddings",
+        "chunk_documents", "quantize_embeddings", "trim_dup_spans",
     ]
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)
@@ -551,3 +551,35 @@ def test_quantize_embeddings_bounds_and_reconstruction(spark, sf_dir):
     z = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     rz = quantize_embeddings(z).collect()[0]
     assert rz.scale == 0.0 and list(rz.qvec) == [0, 0]
+
+
+def test_trim_dup_spans_handcrafted(spark):
+    """Trim semantics on a hand-checkable corpus: shared block removed,
+    unique prefix/suffix kept in order, unflagged doc verbatim,
+    fully-duplicated doc -> ''."""
+    from kmtricks_spark.operators.dedup import duplicate_spans, trim_dup_spans
+
+    block = "B" * 50
+    d = spark.createDataFrame(
+        [
+            (1, "head111 " + block + " tail111"),
+            (2, "head222 " + block + " tail222"),
+            (3, "totally unique document three " * 3),
+            (4, block),  # nothing but the shared block
+            (5, block),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(d, span=10, stride=1)
+    got = {r.doc_id: r.trimmed for r in trim_dup_spans(d, spans, span=10).collect()}
+    assert got[3] == "totally unique document three " * 3  # unflagged verbatim
+    assert got[4] == "" and got[5] == ""                   # fully covered
+    # docs 1/2: the duplicated region is the B-block PLUS the shared
+    # " tail"/" " boundary windows (10-char windows shared between docs
+    # 1 and 2 extend one char left of the block and 5 chars into the
+    # common ' tail' prefix) — exactly the maximal shared substring at
+    # span granularity. Kept = the truly unique head/tail characters.
+    assert block not in got[1] and block not in got[2]
+    assert got[1] == "head111111"
+    assert got[2] == "head222222"
+    spark.catalog.clearCache()
