@@ -177,6 +177,9 @@ def main(argv=None):
                      help="span length for --max-dup-coverage")
     cur.add_argument("--stride", type=int, default=10,
                      help="span stride for --max-dup-coverage")
+    cur.add_argument("--span-action", choices=["drop", "trim"], default="drop",
+                     help="over-coverage docs: drop whole rows, or trim "
+                          "the duplicated intervals out of their text")
     cur.add_argument("--decontaminate", type=str, default=None,
                      help="parquet of benchmark texts (text column): drop "
                           "survivors sharing any n-gram with it")
@@ -254,6 +257,7 @@ def main(argv=None):
                     max_dup_coverage=args.max_dup_coverage,
                     span=args.span,
                     stride=args.stride,
+                    span_action=args.span_action,
                     semantic=args.semantic,
                     vec_col=args.vec_col,
                     semantic_n_lists=args.semantic_n_lists,
@@ -277,6 +281,7 @@ def main(argv=None):
                 max_dup_coverage=args.max_dup_coverage,
                 span=args.span,
                 stride=args.stride,
+                span_action=args.span_action,
                 semantic=args.semantic,
                 vec_col=args.vec_col,
                 semantic_n_lists=args.semantic_n_lists,

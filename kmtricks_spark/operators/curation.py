@@ -135,12 +135,24 @@ def _semantic_gate(
 
 def _span_gate(
     kept: DataFrame, max_dup_coverage: float, span: int, stride: int,
-    text_col: str, id_col: str,
+    text_col: str, id_col: str, span_action: str = "drop",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, spans_handle); the caller MUST materialize
-    survivors then release_persisted(spans_handle)."""
-    from kmtricks_spark.operators.dedup import dup_span_coverage, duplicate_spans
+    survivors then release_persisted(spans_handle).
 
+    span_action='drop': remove whole documents over the coverage
+    threshold (the Lee et al. drop decision). 'trim': keep every row
+    but REWRITE the over-threshold documents' text with their
+    duplicated intervals removed (trim_dup_spans) — row count is
+    unchanged, content shrinks."""
+    from kmtricks_spark.operators.dedup import (
+        dup_span_coverage,
+        duplicate_spans,
+        trim_dup_spans,
+    )
+
+    if span_action not in ("drop", "trim"):
+        raise ValueError(f"span_action must be drop|trim, got {span_action!r}")
     if not (0.0 <= max_dup_coverage <= 1.0):
         raise ValueError(f"max_dup_coverage must be in [0,1], got {max_dup_coverage}")
     spans = duplicate_spans(
@@ -151,7 +163,22 @@ def _span_gate(
         .where(F.col("coverage") > max_dup_coverage)
         .select(F.col("doc_id").alias(id_col))
     )
-    return kept.join(heavy, id_col, "left_anti"), spans
+    if span_action == "drop":
+        return kept.join(heavy, id_col, "left_anti"), spans
+    trimmed = trim_dup_spans(
+        kept, spans, span=span, text_col=text_col, id_col=id_col, out_col="__trimmed"
+    )
+    out = (
+        kept.join(heavy.withColumn("__h", F.lit(1)), id_col, "left")
+        .join(trimmed, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__h").isNotNull(), F.coalesce("__trimmed", F.col(text_col)))
+            .otherwise(F.col(text_col)),
+        )
+        .drop("__h", "__trimmed")
+    )
+    return out, spans
 
 
 def _decontam_gate(
@@ -194,6 +221,7 @@ def curate(
     semantic: float | None = None,
     vec_col: str = "embedding",
     semantic_n_lists: int | None = None,
+    span_action: str = "drop",
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -259,7 +287,7 @@ def curate(
 
     if max_dup_coverage is not None:
         out, spans = _span_gate(
-            kept, max_dup_coverage, span, stride, text_col, id_col
+            kept, max_dup_coverage, span, stride, text_col, id_col, span_action
         )
         kept = out.localCheckpoint()
         report["after_span_dedup"] = kept.count()
@@ -302,6 +330,7 @@ def curate_run(
     semantic: float | None = None,
     vec_col: str = "embedding",
     semantic_n_lists: int | None = None,
+    span_action: str = "drop",
 ) -> tuple[DataFrame, dict]:
     """The curation funnel with the count pipeline's operational
     semantics (plans/pipeline.py / plans/lineage.py): every enabled gate
@@ -345,7 +374,7 @@ def curate_run(
                      "cluster_algorithm": cluster_algorithm,
                      "semantic_n_lists": semantic_n_lists},
         "span": {"max_dup_coverage": max_dup_coverage, "span": span,
-                 "stride": stride},
+                 "stride": stride, "span_action": span_action},
         "decontam": {
             "decontaminate": (
                 os.path.realpath(decontaminate_path) if decontaminate_path else None
@@ -437,7 +466,7 @@ def curate_run(
             if "input" not in report:
                 report["input"] = kept.count()
             out, spans = _span_gate(
-                kept, max_dup_coverage, span, stride, text_col, id_col
+                kept, max_dup_coverage, span, stride, text_col, id_col, span_action
             )
             kept = finish(stage, out, {"input": report["input"]})
             release_persisted(spans)

@@ -583,3 +583,29 @@ def test_trim_dup_spans_handcrafted(spark):
     assert got[1] == "head111111"
     assert got[2] == "head222222"
     spark.catalog.clearCache()
+
+
+def test_curate_span_action_trim(spark):
+    """span_action='trim': over-coverage docs keep their row but lose
+    their duplicated intervals; under-threshold docs untouched."""
+    from kmtricks_spark.operators.curation import curate
+
+    block = "B" * 80
+    rows = (
+        [(i, block) for i in range(10)]                      # fully duplicated
+        + [(100 + i, f"unique document number {i} " * 6) for i in range(5)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, report = curate(
+        d, min_quality=None, dedup=None,
+        max_dup_coverage=0.5, span=40, stride=10, span_action="trim",
+    )
+    assert report["after_span_dedup"] == report["input"] == 15  # no rows dropped
+    got = {r.doc_id: r.text for r in kept.collect()}
+    for i in range(10):
+        assert got[i] == ""  # fully-covered docs trimmed to empty
+    for i in range(5):
+        assert got[100 + i] == f"unique document number {i} " * 6
+    with pytest.raises(ValueError, match="span_action"):
+        curate(d, min_quality=None, dedup=None, max_dup_coverage=0.5,
+               span_action="nope")
