@@ -609,3 +609,44 @@ def test_curate_span_action_trim(spark):
     with pytest.raises(ValueError, match="span_action"):
         curate(d, min_quality=None, dedup=None, max_dup_coverage=0.5,
                span_action="nope")
+
+
+# ----------------------------------- streaming compatibility of r5 cols
+
+def test_scalar_gate_columns_work_in_streaming(spark, tmp_path, docs):
+    """quality_col / gopher_keep_col / lang_guess_col and pii_redact's
+    expressions are pure Column exprs — they must run unchanged in a
+    Structured Streaming plan (stateless select), matching batch."""
+    from kmtricks_spark.functions.text import (
+        PII_PATTERNS, gopher_keep_col, lang_guess_col, quality_col,
+    )
+
+    src_dir = str(tmp_path / "stream_src")
+    docs.select("doc_id", "text").limit(50).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def curated(df):
+        red = F.col("text")
+        for _, pat, repl in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, repl)
+        return df.select(
+            "doc_id",
+            quality_col("text").alias("q"),
+            gopher_keep_col("text").cast("int").alias("g"),
+            lang_guess_col("text").alias("l"),
+            red.alias("redacted"),
+        )
+
+    stream = curated(spark.readStream.schema(schema).parquet(src_dir))
+    q = (
+        stream.writeStream.format("memory").queryName("r5_scalar_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM r5_scalar_stream").collect()}
+    want = {r.doc_id: r for r in curated(spark.read.parquet(src_dir)).collect()}
+    assert len(got) == len(want) == 50
+    for k in want:
+        assert (got[k].q, got[k].g, got[k].l, got[k].redacted) == (
+            want[k].q, want[k].g, want[k].l, want[k].redacted
+        )
