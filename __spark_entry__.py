@@ -600,6 +600,26 @@ def _q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(_emb(spark, sf_dir))
 
 
+def _q_domain_cap(spark, sf_dir):
+    """RefinedWeb-style per-domain cap, hash-matched: synthesized URLs
+    spread the corpus over 7 hosts (one carrying default :80 ports that
+    url_host must strip), cap_per_domain keeps the 40 hash-rank-lowest
+    docs per host; the oracle states the exact survivor set with the
+    same md5 rank."""
+    from kmtricks_spark.functions.url import url_host
+    from kmtricks_spark.operators.sampling import cap_per_domain
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = lambda n: (F.col("doc_id") % n)  # noqa: E731
+    url = F.concat(
+        F.lit("HTTP://Example"), m(7).cast("string"), F.lit(".COM"),
+        F.when(m(4) == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    capped = cap_per_domain(d.select("doc_id", url.alias("url")), k=40)
+    return capped.select("doc_id", url_host(F.col("url")).alias("domain"))
+
+
 def _q_hll_union_bounds(spark, sf_dir):
     """HLL estimate vs SQL-exact distinct, pinned INSIDE the driver
     window as booleans: per sample, |est - exact| / exact must sit
@@ -989,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "quantize_embeddings": _q_quantize_embeddings,
         "trim_dup_spans": _q_trim_dup_spans,
+        "domain_cap": _q_domain_cap,
         "dup_span_coverage": _q_dup_span_coverage,
         "histogram_oob": _q_histogram_oob,
         "soft_min_thresholds_bounded": _q_thresholds_bounded,
@@ -1689,6 +1710,20 @@ def oracle_sql() -> dict[str, str]:
         # exactly the planted copies, so survivors == the base table
         "semantic_dedup": """
         SELECT vec_id, label FROM embeddings
+        """,
+        # same host arithmetic (lowercase + :80 strip) and the same
+        # md5(key||salt) rank the two-pass sampler uses
+        "domain_cap": """
+        WITH u AS (
+          SELECT doc_id, 'example' || (doc_id % 7)::VARCHAR || '.com' AS domain
+          FROM documents
+        )
+        SELECT doc_id, domain FROM (
+          SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY md5(doc_id::VARCHAR || ''), doc_id) AS rn
+          FROM u
+        ) WHERE rn <= 40
         """,
         # chunk=200, overlap=40 -> step 160; chunk_id = (start-1)/step
         "chunk_documents": """

@@ -22,20 +22,31 @@ from pyspark.sql import functions as F
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
 
-def url_normalize(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, default ports stripped
-    (:80 for http, :443 for https), path without trailing slash (root
-    becomes empty), tracking params dropped, remaining query params
-    sorted, fragment removed."""
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL with default ports stripped (:80 for
+    http, :443 for https) — the grouping key for per-domain curation
+    decisions (domain caps, per-site stats). Same host logic as
+    url_normalize, factored for reuse; pure Column expressions."""
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    host = F.when(
+    return F.when(
         (scheme == "http") & hostport.endswith(":80"),
         F.substring(hostport, 1, F.length(hostport) - 3),
     ).when(
         (scheme == "https") & hostport.endswith(":443"),
         F.substring(hostport, 1, F.length(hostport) - 4),
     ).otherwise(hostport)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default ports stripped
+    (:80 for http, :443 for https), path without trailing slash (root
+    becomes empty), tracking params dropped, remaining query params
+    sorted, fragment removed."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     # prefix excludes both '#' and '?': the capture anchors at the FIRST

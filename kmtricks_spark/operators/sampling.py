@@ -202,3 +202,32 @@ def deterministic_group_sample(
     good_part = pre.join(F.broadcast(bad), "__sk", "left_anti")
     redo_part = df.withColumn("__sk", sk).join(F.broadcast(bad), "__sk", "left_semi")
     return ranked_topk(good_part.unionByName(redo_part)).drop("__sk")
+
+
+def cap_per_domain(
+    df,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "",
+    oversample: float = 4.0,
+):
+    """RefinedWeb/C4-style per-domain document cap: keep at most `k`
+    documents per host (lowercased, default ports stripped), chosen by
+    deterministic key-hash rank — the anti-SEO-spam / source-diversity
+    gate of web-corpus curation. A thin composition: url_host extracts
+    the grouping key, deterministic_group_sample (two-pass prefilter +
+    exact rank, no giant-stratum sort) picks the survivors — so one
+    mega-domain with 10^9 pages costs a predicate scan, not an
+    O(n log n) per-group sort. Returns the surviving rows of df
+    (original columns)."""
+    from pyspark.sql import functions as F
+
+    from kmtricks_spark.functions.url import url_host
+
+    tagged = df.withColumn("__domain", url_host(F.col(url_col)))
+    kept = deterministic_group_sample(
+        tagged, k, strata_col="__domain", key_col=id_col,
+        salt=salt, oversample=oversample,
+    )
+    return kept.drop("__domain")

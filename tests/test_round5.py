@@ -313,7 +313,7 @@ def test_demoted_oracles_still_hash_match(spark, sf_dir):
         "dup_span_coverage", "histogram_oob", "soft_min_thresholds_bounded",
         "kll_rank",
         # new r5 extras born past the cap (window already full):
-        "chunk_documents", "quantize_embeddings", "trim_dup_spans",
+        "chunk_documents", "quantize_embeddings", "trim_dup_spans", "domain_cap",
     ]
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs)
@@ -650,3 +650,40 @@ def test_scalar_gate_columns_work_in_streaming(spark, tmp_path, docs):
         assert (got[k].q, got[k].g, got[k].l, got[k].redacted) == (
             want[k].q, want[k].g, want[k].l, want[k].redacted
         )
+
+
+# ------------------------------------------------- per-domain capping
+
+def test_cap_per_domain(spark):
+    from kmtricks_spark.operators.sampling import cap_per_domain
+
+    rows = [
+        (i, f"https://BIG.example.com:443/p/{i}", f"text {i}") for i in range(100)
+    ] + [
+        (1000 + i, f"http://small{i}.org/x", f"text small {i}") for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    kept = cap_per_domain(d, k=10)
+    assert kept.columns == ["doc_id", "url", "text"]  # original columns back
+    got = kept.collect()
+    big = [r for r in got if "example.com" in r.url]
+    small = [r for r in got if "small" in r.url]
+    assert len(big) == 10          # mega-domain capped at k
+    assert len(small) == 5         # tiny domains keep everything
+    # deterministic: same survivors on a re-run
+    again = {r.doc_id for r in cap_per_domain(d, k=10).collect()}
+    assert again == {r.doc_id for r in got}
+
+
+def test_url_host_strips_default_ports(spark):
+    from kmtricks_spark.functions.url import url_host
+
+    d = spark.createDataFrame(
+        [
+            (1, "HTTP://Ex.COM:80/a"), (2, "https://Ex.com:443/b"),
+            (3, "https://ex.com:8443/c"), (4, "http://ex.com/d"),
+        ],
+        ["i", "url"],
+    )
+    got = {r.i: r.h for r in d.select("i", url_host(F.col("url")).alias("h")).collect()}
+    assert got == {1: "ex.com", 2: "ex.com", 3: "ex.com:8443", 4: "ex.com"}
