@@ -177,6 +177,11 @@ def main(argv=None):
                      help="span length for --max-dup-coverage")
     cur.add_argument("--stride", type=int, default=10,
                      help="span stride for --max-dup-coverage")
+    cur.add_argument("--max-docs-per-domain", type=int, default=None,
+                     help="per-domain document cap over --url-col "
+                          "(RefinedWeb-style diversity gate)")
+    cur.add_argument("--url-col", type=str, default="url",
+                     help="URL column for --max-docs-per-domain")
     cur.add_argument("--span-action", choices=["drop", "trim"], default="drop",
                      help="over-coverage docs: drop whole rows, or trim "
                           "the duplicated intervals out of their text")
@@ -258,6 +263,8 @@ def main(argv=None):
                     span=args.span,
                     stride=args.stride,
                     span_action=args.span_action,
+                    max_docs_per_domain=args.max_docs_per_domain,
+                    url_col=args.url_col,
                     semantic=args.semantic,
                     vec_col=args.vec_col,
                     semantic_n_lists=args.semantic_n_lists,
@@ -282,6 +289,8 @@ def main(argv=None):
                 span=args.span,
                 stride=args.stride,
                 span_action=args.span_action,
+                max_docs_per_domain=args.max_docs_per_domain,
+                url_col=args.url_col,
                 semantic=args.semantic,
                 vec_col=args.vec_col,
                 semantic_n_lists=args.semantic_n_lists,

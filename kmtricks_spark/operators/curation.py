@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from kmtricks_spark.functions.text import gopher_keep_col, lang_guess_col, quality_col
 
-CURATE_STAGES = ("scalar", "dedup", "semantic", "span", "decontam")
+CURATE_STAGES = ("scalar", "domain", "dedup", "semantic", "span", "decontam")
 
 
 # ------------------------------------------------------------ gate bodies
@@ -65,6 +65,21 @@ def _scalar_pass(
     row = df.agg(*aggs).collect()[0]
     report = {"input": row["input"], **{name: row[name] for name, _ in gates}}
     return (df.where(conj) if conj is not None else df), report
+
+
+def _domain_gate(
+    kept: DataFrame, max_docs_per_domain: int, url_col: str, id_col: str
+) -> DataFrame:
+    # RefinedWeb-style per-domain cap; placed before dedup so a spam
+    # domain's million near-identical pages never reach the (more
+    # expensive) signature/clustering stages
+    if url_col not in kept.columns:
+        raise ValueError(
+            f"domain cap needs a URL column {url_col!r} in the input"
+        )
+    from kmtricks_spark.operators.sampling import cap_per_domain
+
+    return cap_per_domain(kept, k=max_docs_per_domain, url_col=url_col, id_col=id_col)
 
 
 def _dedup_gate(
@@ -222,6 +237,8 @@ def curate(
     vec_col: str = "embedding",
     semantic_n_lists: int | None = None,
     span_action: str = "drop",
+    max_docs_per_domain: int | None = None,
+    url_col: str = "url",
 ) -> tuple[DataFrame, dict]:
     """Apply the curation funnel; returns (survivors, report).
 
@@ -270,6 +287,12 @@ def curate(
     kept, report = _scalar_pass(df, gates)
     if gates:
         kept = kept.localCheckpoint()
+
+    if max_docs_per_domain is not None:
+        kept = _domain_gate(
+            kept, max_docs_per_domain, url_col, id_col
+        ).localCheckpoint()
+        report["after_domain"] = kept.count()
 
     if dedup is not None:
         kept = _dedup_gate(
@@ -331,6 +354,8 @@ def curate_run(
     vec_col: str = "embedding",
     semantic_n_lists: int | None = None,
     span_action: str = "drop",
+    max_docs_per_domain: int | None = None,
+    url_col: str = "url",
 ) -> tuple[DataFrame, dict]:
     """The curation funnel with the count pipeline's operational
     semantics (plans/pipeline.py / plans/lineage.py): every enabled gate
@@ -368,6 +393,7 @@ def curate_run(
     # last completed stage.
     stage_params = {
         "scalar": {"min_quality": min_quality, "gopher": gopher, "langs": langs},
+        "domain": {"max_docs_per_domain": max_docs_per_domain, "url_col": url_col},
         "dedup": {"dedup": dedup, "min_jaccard": min_jaccard,
                   "cluster_algorithm": cluster_algorithm},
         "semantic": {"semantic": semantic, "vec_col": vec_col,
@@ -388,6 +414,7 @@ def curate_run(
     }
     enabled = {
         "scalar": bool(_scalar_gates(min_quality, gopher, langs, text_col)),
+        "domain": max_docs_per_domain is not None,
         "dedup": dedup is not None,
         "semantic": semantic is not None,
         "span": max_dup_coverage is not None,
@@ -420,6 +447,7 @@ def curate_run(
         return table
 
     _after_key = {
+        "domain": "after_domain",
         "dedup": "after_dedup", "semantic": "after_semantic",
         "span": "after_span_dedup", "decontam": "after_decontam",
     }
@@ -444,6 +472,12 @@ def curate_run(
             gates = _scalar_gates(min_quality, gopher, langs, text_col)
             out, rep = _scalar_pass(kept, gates)
             kept = finish(stage, out, rep)
+        elif stage == "domain":
+            if "input" not in report:
+                report["input"] = kept.count()
+            out = _domain_gate(kept, max_docs_per_domain, url_col, id_col)
+            kept = finish(stage, out, {"input": report["input"]})
+            report["after_domain"] = read_lineage(run_dir, stage)["output_rows"]
         elif stage == "dedup":
             if "input" not in report:
                 report["input"] = kept.count()

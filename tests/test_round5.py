@@ -359,8 +359,8 @@ def test_curate_run_resume_skips_completed_gates(spark, sf_dir, tmp_path):
     rd = str(tmp_path / "crun")
     kept1, rep1 = curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
     assert rep1["stages"] == {
-        "scalar": "done", "dedup": "done", "semantic": "disabled",
-        "span": "disabled", "decontam": "disabled",
+        "scalar": "done", "domain": "disabled", "dedup": "done",
+        "semantic": "disabled", "span": "disabled", "decontam": "disabled",
     }
     ts = {s: read_lineage(rd, s)["ts"] for s in ("scalar", "dedup")}
     kept2, rep2 = curate_run(spark, rd, inp, min_quality=0.5, dedup="exact")
@@ -687,3 +687,36 @@ def test_url_host_strips_default_ports(spark):
     )
     got = {r.i: r.h for r in d.select("i", url_host(F.col("url")).alias("h")).collect()}
     assert got == {1: "ex.com", 2: "ex.com", 3: "ex.com:8443", 4: "ex.com"}
+
+
+def test_curate_domain_gate_and_run(spark, tmp_path):
+    """--max-docs-per-domain as a funnel gate: caps before dedup in
+    both curate() and curate_run() (resume-capable stage)."""
+    from kmtricks_spark.operators.curation import curate, curate_run
+
+    rows = [
+        (i, f"https://spam.example/{i}", "common words here " * 10) for i in range(50)
+    ] + [
+        (1000 + i, f"http://site{i}.org/x", f"distinct article {i} " * 10)
+        for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    kept, report = curate(d, min_quality=None, dedup=None, max_docs_per_domain=8)
+    assert report["after_domain"] == 8 + 5
+    assert kept.count() == 13
+    with pytest.raises(ValueError, match="URL column"):
+        curate(d.drop("url"), min_quality=None, dedup=None, max_docs_per_domain=8)
+
+    inp = str(tmp_path / "docs.parquet")
+    d.write.parquet(inp)
+    rd = str(tmp_path / "run")
+    _, rep1 = curate_run(spark, rd, inp, min_quality=None, dedup="exact",
+                         max_docs_per_domain=8)
+    assert rep1["stages"]["domain"] == "done"
+    assert rep1["after_domain"] == 13
+    # exact dedup collapses the 8 identical spam survivors to 1
+    assert rep1["after_dedup"] == 1 + 5
+    _, rep2 = curate_run(spark, rd, inp, min_quality=None, dedup="exact",
+                         max_docs_per_domain=8)
+    assert rep2["stages"]["domain"] == "skipped"
+    assert rep2["after_dedup"] == rep1["after_dedup"]
