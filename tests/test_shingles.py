@@ -78,3 +78,26 @@ def test_sql_path_rowcount(spark, tiny):
     n = kgrams_sql(tiny, cfg).count()
     # char-based: 'café café x' has 11 chars -> 8 windows
     assert n == (8 - 3) + 0 + (9 - 3) + 8
+
+
+def test_sql_char_ascii_fastpath_equals_char_semantics(spark):
+    """The char-mode ASCII byte-slice fast path (r6 optimization) must
+    reproduce exact CHARACTER substring semantics on a mixed corpus:
+    pure-ASCII docs ride the O(1) byte slice, multibyte docs the char
+    fallback — both must equal the naive per-char enumeration."""
+    rows = [
+        ("s1", "hello world shingles"),
+        ("s2", "café déjà vu münchen"),   # fallback branch
+        ("s3", "mixed café and ascii"),   # fallback branch
+        ("s4", "ascii only text here!"),  # fast-path branch
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    cfg = KmConfig(k=4, kgram_as_string=True, method="sql")
+    got = Counter(
+        (r["sample_id"], r["kgram"])
+        for r in kgrams_sql(df, cfg).collect()
+    )
+    want = Counter(
+        (s, t[i : i + 4]) for s, t in rows for i in range(len(t) - 3)
+    )
+    assert got == want
