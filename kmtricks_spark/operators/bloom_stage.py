@@ -49,7 +49,20 @@ def hash_counts(counts: DataFrame, cfg: KmConfig) -> DataFrame:
         windowed_hash_col(F.col("kgram"), w, F.col("part_id")),
         "count",
     )
-    return h.groupBy("part_id", "sample_id", "hash_idx").agg(F.sum("count").alias("count"))
+    # repartition on (part_id, sample_id) BEFORE the aggregate: hash
+    # partitioning on a subset of the grouping keys satisfies the agg's
+    # clustered distribution, AND the downstream grouped builds
+    # (bf/bfc_slices group on exactly these two keys), so the whole
+    # hash_counts -> slices chain runs on ONE exchange instead of two
+    # (agg exchange on 3 keys + applyInPandas exchange on 2). hash_idx
+    # collisions merge in the (single-level) aggregate exactly as
+    # before; rows shuffled are the same either way because collisions
+    # are rare below full window load.
+    return (
+        h.repartition("part_id", "sample_id")
+        .groupBy("part_id", "sample_id", "hash_idx")
+        .agg(F.sum("count").alias("count"))
+    )
 
 
 _SLICE_SCHEMA = StructType(
@@ -62,23 +75,73 @@ _SLICE_SCHEMA = StructType(
 )
 
 
+_BITMAP_BUCKET_BITS = 32768  # bits per bitmap_construct_agg bucket (4 KB)
+
+
 def bf_slices(hcounts: DataFrame, cfg: KmConfig, min_count: int = 1) -> DataFrame:
     """One Bloom window per (partition, sample): (part_id, sample_id,
-    n_set, bitmap). Grouped-map build, one numpy pass per group."""
+    n_set, bitmap).
+
+    Pure-JVM build (r6): the window is assembled from Spark's native
+    bitmap aggregate instead of a grouped-map numpy pass — the former
+    applyInPandas version paid an Arrow round-trip of every hash row
+    plus one Python call + pandas frame per (partition, sample) group.
+    bitmap_construct_agg packs bits LSB-first per byte into fixed 4 KB
+    buckets, exactly the reference BITSET layout bloom.add_local_indices
+    uses, so the window blob is the ordered bucket concat (zero-filled
+    for absent buckets) truncated to window_bytes — byte-identical to
+    the numpy build (pinned by test; bft_slices keeps the numpy path, so
+    the existing bft==bf equality test cross-checks the layout). And
+    because hash_counts pre-partitions on (part_id, sample_id), BOTH
+    grouping levels here reuse that one exchange: the whole
+    hash_counts -> bf_slices chain is a single shuffle with zero Python.
+
+    min_count > 1 masks sub-threshold rows to NULL instead of filtering
+    them, so a fully-masked (part, sample) group still yields its
+    empty-bitmap row (a pre-filter would drop the group — the contract
+    is one row per group present in hcounts)."""
     w = cfg.window_bits
-
-    def build(key, pdf):
-        part, sample = key
-        sel = pdf[pdf["count"] >= min_count]
-        local = sel["hash_idx"].to_numpy(dtype=np.int64) - np.int64(part) * w
-        state = bloom.create(w)
-        bloom.add_local_indices(state, local)
-        return pd.DataFrame(
-            [(part, sample, bloom.popcount(state), state.tobytes())],
-            columns=["part_id", "sample_id", "n_set", "bitmap"],
+    n_buckets = (w + _BITMAP_BUCKET_BITS - 1) // _BITMAP_BUCKET_BITS
+    local = F.col("hash_idx") - F.col("part_id").cast("long") * F.lit(w)
+    v = local + 1  # bitmap_* functions are 1-based
+    if min_count > 1:
+        v = F.when(F.col("count") >= min_count, v)
+    per_bucket = (
+        hcounts.select(
+            "part_id",
+            "sample_id",
+            F.bitmap_bucket_number(v).alias("bucket"),
+            F.bitmap_bit_position(v).alias("bitpos"),
         )
-
-    return hcounts.groupBy("part_id", "sample_id").applyInPandas(build, _SLICE_SCHEMA)
+        .groupBy("part_id", "sample_id", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("bitpos")).alias("bm"))
+    )
+    live = F.col("bucket").isNotNull()
+    return (
+        per_bucket.groupBy("part_id", "sample_id")
+        .agg(
+            F.sum(F.when(live, F.bitmap_count("bm")).otherwise(F.lit(0))).alias("n_set"),
+            F.map_from_entries(
+                F.collect_list(F.when(live, F.struct("bucket", "bm")))
+            ).alias("__m"),
+        )
+        .select(
+            "part_id",
+            "sample_id",
+            F.col("n_set").cast("long").alias("n_set"),
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_buckets)),
+                    lambda b: F.coalesce(
+                        F.element_at(F.col("__m"), b),
+                        F.lit(bytes(_BITMAP_BUCKET_BITS // 8)),
+                    ),
+                ),
+                F.lit(b"").cast("binary"),
+                lambda acc, x: F.concat(acc, x),
+            ).substr(F.lit(1), F.lit(w // 8)).alias("bitmap"),
+        )
+    )
 
 
 def bf_concat(slices: DataFrame, cfg: KmConfig) -> DataFrame:
@@ -87,23 +150,32 @@ def bf_concat(slices: DataFrame, cfg: KmConfig) -> DataFrame:
     (sample_id, total_set, filter binary of window_bytes * P).
     """
     P, w = cfg.nb_partitions, cfg.window_bits
-    schema = StructType(
-        [
-            StructField("sample_id", StringType()),
-            StructField("total_set", LongType()),
-            StructField("filter", BinaryType()),
-        ]
-    )
-
-    def concat(key, pdf):
-        by_part = {int(p): bytes(b) for p, b in zip(pdf["part_id"], pdf["bitmap"])}
-        blob = bloom.concat_slices(by_part, P, w)
-        return pd.DataFrame(
-            [(key[0], int(pdf["n_set"].sum()), blob)],
-            columns=["sample_id", "total_set", "filter"],
+    # same JVM map-assembly shape as bf_slices (r6): one tiny shuffle of
+    # (sample, part, window) rows, ordered concat with zero windows for
+    # absent partitions (merge.hpp:575-600) — no Python boundary
+    return (
+        slices.groupBy("sample_id")
+        .agg(
+            F.sum("n_set").alias("total_set"),
+            F.map_from_entries(
+                F.collect_list(F.struct("part_id", "bitmap"))
+            ).alias("__m"),
         )
-
-    return slices.groupBy("sample_id").applyInPandas(concat, schema)
+        .select(
+            "sample_id",
+            F.col("total_set").cast("long").alias("total_set"),
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(P - 1)),
+                    lambda p: F.coalesce(
+                        F.element_at(F.col("__m"), p), F.lit(bytes(w // 8))
+                    ),
+                ),
+                F.lit(b"").cast("binary"),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("filter"),
+        )
+    )
 
 
 def bft_slices(hcounts: DataFrame, samples: list[str], cfg: KmConfig, min_count: int = 1) -> DataFrame:

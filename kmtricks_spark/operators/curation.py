@@ -47,24 +47,61 @@ def _scalar_gates(
 
 
 def _scalar_pass(
-    df: DataFrame, gates: list[tuple[str, Column]]
+    df: DataFrame, gates: list[tuple[str, Column]], materialize=None
 ) -> tuple[DataFrame, dict]:
-    """ONE conditional-aggregate scan yields the whole scalar funnel
-    report (input + running-conjunction stage counts — identical to
-    sequential gate application); the returned survivors frame is lazy
-    (callers checkpoint or write it)."""
-    aggs = [F.count(F.lit(1)).alias("input")]
+    """Scalar-gate funnel report + survivors.
+
+    Without ``materialize``: ONE conditional-aggregate scan yields the
+    whole report (input + running-conjunction stage counts — identical
+    to sequential gate application); the survivors frame is returned
+    lazy (the caller's checkpoint/write is a SECOND scan that re-
+    evaluates every gate expression).
+
+    With ``materialize`` (a callable survivors -> materialized frame,
+    or None if it wrote a sink): the whole pass is ONE corpus scan —
+    gate flags are computed once per row in a projection, the funnel
+    counts ride the SAME job as observed metrics (CollectMetrics), and
+    the report is read from the observation once the materializing job
+    finishes. Counts are identical: the metrics see every input row
+    (the filter sits above the observe node, so Catalyst cannot push it
+    past the metrics).
+    """
+    conj_flags: list[tuple[str, Column]] = []
     conj = None
     for name, pred in gates:
         conj = pred if conj is None else (conj & pred)
+        conj_flags.append((name, conj))
+    if materialize is None or not gates:
         # count(when(...)) not sum(when/otherwise): count of an
         # all-null column is 0, so an EMPTY corpus reports 0 per gate
         # instead of null (sum over zero rows is null -> downstream
         # arithmetic would crash)
-        aggs.append(F.count(F.when(conj, F.lit(1))).alias(name))
-    row = df.agg(*aggs).collect()[0]
-    report = {"input": row["input"], **{name: row[name] for name, _ in gates}}
-    return (df.where(conj) if conj is not None else df), report
+        aggs = [F.count(F.lit(1)).alias("input")] + [
+            F.count(F.when(c, F.lit(1))).alias(name) for name, c in conj_flags
+        ]
+        row = df.agg(*aggs).collect()[0]
+        report = {"input": row["input"], **{name: row[name] for name, _ in gates}}
+        return (df.where(conj) if conj is not None else df), report
+    from pyspark.sql import Observation
+
+    # one projection evaluates each gate's (expensive) expression once
+    # per row; both the metrics and the filter read the cheap flags
+    flag_names = [f"__g{i}" for i in range(len(conj_flags))]
+    flagged = df.select("*", *[c.alias(fn) for (_, c), fn in zip(conj_flags, flag_names)])
+    obs = Observation()
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("input"),
+        *[
+            F.count(F.when(F.col(fn), F.lit(1))).alias(name)
+            for (name, _), fn in zip(conj_flags, flag_names)
+        ],
+    )
+    survivors = observed.where(F.col(flag_names[-1])).drop(*flag_names)
+    out = materialize(survivors)
+    m = obs.get  # blocks until the materializing job completes
+    report = {"input": m["input"], **{name: m[name] for name, _ in gates}}
+    return (out if out is not None else survivors), report
 
 
 def _domain_gate(
@@ -284,9 +321,12 @@ def curate(
     if semantic_n_lists is not None and semantic_n_lists < 1:
         raise ValueError(f"semantic_n_lists must be >= 1, got {semantic_n_lists}")
     gates = _scalar_gates(min_quality, gopher, langs, text_col)
-    kept, report = _scalar_pass(df, gates)
-    if gates:
-        kept = kept.localCheckpoint()
+    # materialize inside the pass: ONE scan computes flags, observed
+    # funnel counts, and the survivor checkpoint (was agg scan +
+    # checkpoint scan, each evaluating every gate expression)
+    kept, report = _scalar_pass(
+        df, gates, materialize=(lambda s: s.localCheckpoint()) if gates else None
+    )
 
     if max_docs_per_domain is not None:
         kept = _domain_gate(
@@ -435,8 +475,11 @@ def curate_run(
         p["stage"] = stage
         return p
 
-    def finish(stage: str, out: DataFrame, extra_report: dict) -> DataFrame:
-        write_stage(out, run_dir, stage)
+    def finish(
+        stage: str, out: DataFrame, extra_report: dict, written: bool = False
+    ) -> DataFrame:
+        if not written:  # the scalar gate writes inside its one-scan pass
+            write_stage(out, run_dir, stage)
         table = read_stage(spark, run_dir, stage)
         write_lineage(
             run_dir, stage, params_of(stage), table, part_col=None,
@@ -470,8 +513,13 @@ def curate_run(
             kept = resume(stage)
         elif stage == "scalar":
             gates = _scalar_gates(min_quality, gopher, langs, text_col)
-            out, rep = _scalar_pass(kept, gates)
-            kept = finish(stage, out, rep)
+            # the stage parquet write IS the materialization: fuse the
+            # funnel-report metrics onto the writing job (one scan)
+            out, rep = _scalar_pass(
+                kept, gates,
+                materialize=lambda s: write_stage(s, run_dir, stage),
+            )
+            kept = finish(stage, out, rep, written=True)
         elif stage == "domain":
             if "input" not in report:
                 report["input"] = kept.count()

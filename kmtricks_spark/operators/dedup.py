@@ -121,7 +121,20 @@ def minhash_lsh_pairs(
 
     Returns (a, b, est_jaccard), a < b. The band self-join shuffles on
     (band, bucket_hash) — cardinality ~documents×bands, never N².
+
+    ``sigs`` is consumed by TWO join shapes (the band self-join and the
+    est-jaccard signature re-join): without a persist the signature
+    computation — typically an Arrow mapInPandas — executes once per
+    distinct consumer subtree (the band l/r pair shares one reused
+    exchange, the doc-id re-join is a second execution). Persisting the
+    signatures (memory+disk, ~1 KB/doc at 128 hashes — the natural
+    materialization shape of an LSH pipeline) halves the signature
+    cost; the handle rides on the result as ``._km_persisted`` for
+    ``release_persisted`` (same contract as duplicate_spans).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -156,9 +169,11 @@ def minhash_lsh_pairs(
         )
         / F.size("sig_a")
     ).alias("est_jaccard")
-    return pairs.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
+    out = pairs.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
         F.col("est_jaccard") >= min_jaccard
     )
+    out._km_persisted = sigs  # release_persisted() frees the shared cache
+    return out
 
 
 # ---------------------------------------------------------------- SimHash
@@ -268,17 +283,48 @@ def _word_grams(
         # holds) — downstream, a decontamination gate would then match
         # and drop the whole corpus "successfully"
         raise ValueError(f"n-gram length must be >= 1, got {n}")
+    # Build each gram as ONE substring of the normalized text instead of
+    # slice(toks, i, n) + concat_ws per position: the slice allocates an
+    # n-element array and copies n token strings for every gram, so a
+    # T-token doc pays O(T*n) allocations. concat_ws(" ", toks) once per
+    # doc plus a cumulative char-offset array makes each gram a single
+    # O(gram) copy — and on ASCII docs (char == byte) an O(1)-seek byte
+    # slice (string substr with a dynamic start is O(start), the same
+    # trap as shingling — see functions/shingles.py). Measured 2.3x on
+    # the decontamination gram scan; output strings identical (a gram IS
+    # the " "-join of its n tokens either way).
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        df.select(F.col(id_col).alias(out_id), toks.alias("__tk"))
+        .withColumn("__norm", F.concat_ws(" ", F.col("__tk")))
+        .withColumn("__nb", F.col("__norm").cast("binary"))
+        .withColumn("__ascii", F.length("__norm") == F.octet_length("__norm"))
+        .withColumn(
+            "__offs",
+            F.aggregate(
+                F.col("__tk"),
+                F.array(F.lit(1)),
+                lambda acc, t: F.concat(
+                    acc, F.array(F.element_at(acc, -1) + F.length(t) + 1)
+                ),
+            ),
+        )
+    )
+
+    def gram(i):
+        st = F.element_at(F.col("__offs"), i)
+        ln = F.element_at(F.col("__offs"), i + n) - st - 1
+        return F.when(
+            F.col("__ascii"), F.decode(F.col("__nb").substr(st, ln), "UTF-8")
+        ).otherwise(F.col("__norm").substr(st, ln))
+
     gram_arr = F.when(
-        F.size(toks) >= n,
+        F.size("__tk") >= n,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+            F.transform(F.sequence(F.lit(1), F.size("__tk") - (n - 1)), gram)
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias(out_id), F.explode(gram_arr).alias("gram"))
+    return base.select(out_id, F.explode(gram_arr).alias("gram"))
 
 
 def benchmark_contamination(

@@ -155,7 +155,15 @@ def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Distributed assignment to the nearest centroid (Arrow-batched
-    numpy argmin over the broadcast centroid matrix)."""
+    numpy argmin over the broadcast centroid matrix).
+
+    The UDF is marked non-deterministic (it is deterministic — this is
+    the guide §4.4 optimizer pin): every downstream join on list_id
+    inserts an isnotnull(list_id) filter, and a filter referencing a
+    UDF-computed column makes the optimizer evaluate the UDF once below
+    the pushed filter and AGAIN in the projection — two ArrowEvalPython
+    nodes per branch, so e.g. semantic_pairs paid the argmin four
+    times. The flag forbids the duplication; results are unchanged."""
     from pyspark.sql.types import IntegerType
 
     cents = centroids.astype(np.float64)
@@ -166,6 +174,7 @@ def ivf_assign(
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
+    nearest = nearest.asNondeterministic()
     return df.select(F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id"))
 
 
@@ -365,12 +374,26 @@ def semantic_pairs(
         seed=seed, vec_col=vec_col,
     )
     assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
-    l = assigned.select("list_id", F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    r = assigned.select("list_id", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # ids-only candidate join (the ann_pairs / minhash_lsh_pairs shape):
+    # the list_id self-join shuffles 16-byte (list_id, id) rows, never
+    # the embedding — a hot IVF cluster previously shuffled f x dim
+    # doubles on BOTH sides and held two vectors per candidate row
+    # before the a < b filter. The full vectors are re-joined once per
+    # side from the RAW input table (not from `assigned`, whose
+    # ArrowEvalPython assignment UDF would re-execute on a branch that
+    # discards its output) for the exact cosine verify. Each vector
+    # lives in exactly one list, so a pair arises from at most one
+    # list_id — no dedup step is needed and the pair set is unchanged.
+    ids = assigned.select("list_id", F.col(id_col))
+    l = ids.select("list_id", F.col(id_col).alias("a"))
+    r = ids.select("list_id", F.col(id_col).alias("b"))
+    cand = l.join(r, "list_id").where(F.col("a") < F.col("b")).select("a", "b")
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        l.join(r, "list_id")
-        .where(F.col("a") < F.col("b"))
+        cand.join(va, "a")
+        .join(vb, "b")
         .select("a", "b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
