@@ -206,7 +206,8 @@ def main(argv=None):
                           "with identical flags resumes past completed "
                           "gates (kill-rerun safe)")
     cur.add_argument("--until", default=None,
-                     choices=["scalar", "dedup", "semantic", "span", "decontam"],
+                     choices=["scalar", "domain", "dedup", "semantic", "span",
+                              "decontam"],
                      help="with --run-dir: stop after this gate")
     cur.add_argument("--cores", type=int, default=None)
 

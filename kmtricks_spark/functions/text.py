@@ -163,16 +163,26 @@ def winnow_fingerprints(
     gram_hash = (lambda g: F.xxhash64(g)) if hash_fn == "xxh64" else (lambda g: F.md5(g))
     # one row per k-gram hash (hash evaluated exactly once — an inline
     # transform+slice formulation duplicates the hash array into every
-    # window lambda, an O(n*window) expression blowup; measured 20x slower)
-    sh = df.where(n_kgrams >= 1).select(
-        F.col(id_col),
-        n_kgrams.alias("_n"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_kgrams),
-                lambda i: gram_hash(F.substring(c, i, k)),
-            )
-        ).alias("pos", "h"),
+    # window lambda, an O(n*window) expression blowup; measured 20x slower).
+    # Both hash functions consume the UTF-8 bytes identically for string
+    # and binary inputs, so ASCII docs hash an O(1) byte slice of the
+    # pre-cast binary instead of the O(pos) char-seek substring (the
+    # shingling trap — functions/shingles.py); non-ASCII docs keep the
+    # exact char-substring path.
+    hcol = F.when(
+        F.col("__ascii"), gram_hash(F.col("__tb").substr(F.col("i"), F.lit(k)))
+    ).otherwise(gram_hash(F.substring(c, F.col("i"), F.lit(k))))
+    sh = (
+        df.where(n_kgrams >= 1)
+        .select(
+            F.col(id_col),
+            n_kgrams.alias("_n"),
+            c,
+            c.cast("binary").alias("__tb"),
+            (F.length(c) == F.octet_length(c)).alias("__ascii"),
+            F.posexplode(F.sequence(F.lit(1), n_kgrams)).alias("pos", "i"),
+        )
+        .select(F.col(id_col), "_n", "pos", hcol.alias("h"))
     )
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     mins = sh.select(
@@ -373,19 +383,31 @@ def chunk_documents(
         raise ValueError(f"need chunk >= 1 and 0 <= overlap < chunk, got {chunk}/{overlap}")
     step = chunk - overlap
     c = F.col(text_col)
-    piece = F.substring(c, F.col("start"), chunk)
+    # chunk_len is pure arithmetic (min(chunk, len - start + 1) for any
+    # start in [1, len]) instead of length(substring(...)) — the old
+    # form evaluated the substring twice per row; and the chunk text
+    # slices bytes on ASCII docs (char == byte ⟺ length == octet_length,
+    # same O(start) char-seek trap as shingling — functions/shingles.py)
+    chunk_len = F.least(F.lit(chunk), F.col("__len") - F.col("start") + 1)
+    piece = F.when(
+        F.col("__ascii"),
+        F.decode(F.col("__tb").substr(F.col("start"), F.lit(chunk)), "UTF-8"),
+    ).otherwise(F.substring(F.col("__t"), F.col("start"), chunk))
     return (
         df.where(F.length(c) >= 1)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.length(c), F.lit(step))).alias("start"),
             c.alias("__t"),
+            c.cast("binary").alias("__tb"),
+            F.length(c).alias("__len"),
+            (F.length(c) == F.octet_length(c)).alias("__ascii"),
         )
         .select(
             id_col,
             (((F.col("start") - 1) / step).cast("int")).alias("chunk_id"),
             F.col("start").cast("int").alias("start"),
-            F.length(F.substring(F.col("__t"), F.col("start"), chunk)).alias("chunk_len"),
-            F.substring(F.col("__t"), F.col("start"), chunk).alias("chunk_text"),
+            chunk_len.cast("int").alias("chunk_len"),
+            piece.alias("chunk_text"),
         )
     )

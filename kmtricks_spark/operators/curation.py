@@ -170,15 +170,16 @@ def _semantic_gate(
         return kept
     from kmtricks_spark.operators.similarity import semantic_dedup
 
-    # explicit n_lists is still capped by the survivor count (ivf_train
-    # cannot place more centroids than it has training rows — a
-    # corpus-sized value over a small survivor set would otherwise
-    # crash AFTER the upstream gates already ran)
+    # explicit n_lists is still capped by the survivor count AND by
+    # ivf_train's training-sample hard cap (max_train_rows=65536):
+    # ivf_train cannot place more centroids than it has training rows,
+    # and it never collects more than the cap — a corpus-sized value
+    # would otherwise crash AFTER the upstream gates already ran
     cap = 16 if n_lists is None else int(n_lists)
     return semantic_dedup(
         kept,
         threshold=semantic,
-        n_lists=max(1, min(cap, int(survivors))),
+        n_lists=max(1, min(cap, int(survivors), 65536)),
         vec_col=vec_col,
         id_col=id_col,
         cluster_algorithm=cluster_algorithm,
@@ -407,7 +408,7 @@ def curate_run(
     upstream knobs), so changing a knob invalidates exactly its gate
     and everything downstream, while enabling a NEW downstream gate on
     a completed run reuses the upstream stages as-is. `until` stops
-    after the named stage ('scalar'|'dedup'|'semantic'|'span'|
+    after the named stage ('scalar'|'domain'|'dedup'|'semantic'|'span'|
     'decontam').
 
     The parquet table IS the inter-stage materialization (no

@@ -639,18 +639,26 @@ def duplicate_spans(
     from pyspark.storagelevel import StorageLevel
     c = F.col(text_col)
     n = F.length(c) - (span - 1)
+    # md5 hashes the UTF-8 bytes whether fed a string or a binary, so on
+    # ASCII docs (char == byte) each span hash can come from an O(1)
+    # byte slice of the pre-cast binary instead of the O(pos) char-seek
+    # string substring (the shingling trap — functions/shingles.py);
+    # non-ASCII docs keep exact char-substring semantics
+    ascii_doc = F.length(c) == F.octet_length(c)
+    tb = c.cast("binary")
+    span_hash = lambda i: F.when(  # noqa: E731
+        F.col("__ascii"), F.md5(F.col("__tb").substr(i, F.lit(span)))
+    ).otherwise(F.md5(F.substring(c, i, span)))
     spans = df.where(n >= 1).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n, F.lit(stride)),
-                lambda i: F.md5(F.substring(c, i, span)),
-            )
-        ).alias("k", "span_hash"),
+        c,
+        tb.alias("__tb"),
+        ascii_doc.alias("__ascii"),
+        F.posexplode(F.sequence(F.lit(1), n, F.lit(stride))).alias("k", "i"),
     ).select(
         "doc_id",
         (F.col("k") * stride + 1).alias("pos"),
-        "span_hash",
+        span_hash(F.col("i")).alias("span_hash"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # distinct-doc count via groupBy + semi-join, NOT a collect_set
     # window: a boilerplate span shared by millions of docs would give

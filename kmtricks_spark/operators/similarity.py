@@ -94,8 +94,8 @@ def hyperplane_signatures(
     def bucket_of(v: pd.Series) -> pd.Series:
         if v.empty:
             return pd.Series(np.empty(0, dtype=np.int64))
-        mat = np.array(list(v), dtype=np.float64)  # (n, dim)
-        proj = mat @ planes_t                      # (n, bits)
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
+        proj = mat @ planes_t                                          # (n, bits)
         return pd.Series((proj > 0) @ powers)
 
     return df.select(
@@ -170,7 +170,7 @@ def ivf_assign(
 
     @F.pandas_udf(IntegerType())
     def nearest(v: pd.Series) -> pd.Series:
-        mat = np.array([list(x) for x in v], dtype=np.float64)
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
@@ -231,7 +231,7 @@ def ivf_search_batch(
     def probe_lists(v: pd.Series) -> pd.Series:
         if v.empty:
             return pd.Series([], dtype=object)
-        mat = np.array(list(v), dtype=np.float64)
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         idx = np.argsort(d, axis=1)[:, :npb].astype(np.int32)
         return pd.Series(list(idx))
