@@ -93,10 +93,9 @@ def main():
     count_kgrams(d, CFG).agg(F.sum("count")).collect()
 
     # --- count family
-    leg("count_shingle_only", lambda: d.select(
-        "source", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (CFG.k - 1))).alias("pos"),
-    ).select("source", F.expr(f"substring(text, pos, {CFG.k})").alias("kgram")))
+    from kmtricks_spark.functions.shingles import kgrams_sql
+
+    leg("count_shingle_only", lambda: kgrams_sql(d, CFG))
     leg("count_kgrams", lambda: count_kgrams(d, CFG))
 
     counts_path = "/tmp/bench_counts_extra.parquet"
