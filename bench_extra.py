@@ -99,8 +99,7 @@ def main():
     leg("count_kgrams", lambda: count_kgrams(d, CFG))
 
     counts_path = "/tmp/bench_counts_extra.parquet"
-    if not only or "counts_table" in only or True:
-        count_kgrams(d, CFG).write.mode("overwrite").parquet(counts_path)
+    count_kgrams(d, CFG).write.mode("overwrite").parquet(counts_path)
     counts = spark.read.parquet(counts_path)
     samples = sorted(r.sample_id for r in counts.select("sample_id").distinct().collect())
 

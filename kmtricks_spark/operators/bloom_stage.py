@@ -103,7 +103,23 @@ def bf_slices(hcounts: DataFrame, cfg: KmConfig, min_count: int = 1) -> DataFram
     w = cfg.window_bits
     n_buckets = (w + _BITMAP_BUCKET_BITS - 1) // _BITMAP_BUCKET_BITS
     local = F.col("hash_idx") - F.col("part_id").cast("long") * F.lit(w)
-    v = local + 1  # bitmap_* functions are 1-based
+    # loud failure on an index outside its partition window (mis-routed
+    # or hand-built input): the numpy build raised IndexError here; the
+    # bucket arithmetic would otherwise silently truncate the bit while
+    # still counting it — a silent Bloom false negative downstream
+    v = F.when(
+        (local >= 0) & (local < w), local + 1  # bitmap_* functions are 1-based
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bf_slices: hash_idx outside its partition window: "),
+                F.col("hash_idx").cast("string"),
+                F.lit(" (part_id "),
+                F.col("part_id").cast("string"),
+                F.lit(f", window_bits {w})"),
+            )
+        ).cast("long")
+    )
     if min_count > 1:
         v = F.when(F.col("count") >= min_count, v)
     per_bucket = (

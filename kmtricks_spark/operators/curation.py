@@ -168,7 +168,7 @@ def _semantic_gate(
         )
     if survivors == 0:
         return kept
-    from kmtricks_spark.operators.similarity import semantic_dedup
+    from kmtricks_spark.operators.similarity import IVF_MAX_TRAIN_ROWS, semantic_dedup
 
     # explicit n_lists is still capped by the survivor count AND by
     # ivf_train's training-sample hard cap (max_train_rows=65536):
@@ -179,7 +179,7 @@ def _semantic_gate(
     return semantic_dedup(
         kept,
         threshold=semantic,
-        n_lists=max(1, min(cap, int(survivors), 65536)),
+        n_lists=max(1, min(cap, int(survivors), IVF_MAX_TRAIN_ROWS)),
         vec_col=vec_col,
         id_col=id_col,
         cluster_algorithm=cluster_algorithm,

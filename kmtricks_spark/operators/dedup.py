@@ -123,18 +123,20 @@ def minhash_lsh_pairs(
     (band, bucket_hash) — cardinality ~documents×bands, never N².
 
     ``sigs`` is consumed by TWO join shapes (the band self-join and the
-    est-jaccard signature re-join): without a persist the signature
-    computation — typically an Arrow mapInPandas — executes once per
-    distinct consumer subtree (the band l/r pair shares one reused
-    exchange, the doc-id re-join is a second execution). Persisting the
-    signatures (memory+disk, ~1 KB/doc at 128 hashes — the natural
-    materialization shape of an LSH pipeline) halves the signature
-    cost; the handle rides on the result as ``._km_persisted`` for
-    ``release_persisted`` (same contract as duplicate_spans).
+    est-jaccard signature re-join): without a materialization the
+    signature computation — typically an Arrow mapInPandas — executes
+    once per distinct consumer subtree (the band l/r pair shares one
+    reused exchange, the doc-id re-join is a second execution). An
+    EAGER localCheckpoint (memory+disk blocks, ~1 KB/doc at 128 hashes
+    — the natural materialization shape of an LSH pipeline) halves the
+    signature cost. localCheckpoint rather than persist() deliberately:
+    checkpoint blocks are private to this invocation and are released
+    by the ContextCleaner when the frame is garbage-collected (no
+    release handle to leak, no CacheManager entry that a later
+    identical-plan invocation would silently cache-hit against — each
+    call recomputes its signatures exactly once from its inputs).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sigs.localCheckpoint()
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -169,11 +171,9 @@ def minhash_lsh_pairs(
         )
         / F.size("sig_a")
     ).alias("est_jaccard")
-    out = pairs.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
+    return pairs.select("a", "b", F.round(est, 6).alias("est_jaccard")).where(
         F.col("est_jaccard") >= min_jaccard
     )
-    out._km_persisted = sigs  # release_persisted() frees the shared cache
-    return out
 
 
 # ---------------------------------------------------------------- SimHash
@@ -654,10 +654,10 @@ def duplicate_spans(
         c,
         tb.alias("__tb"),
         ascii_doc.alias("__ascii"),
-        F.posexplode(F.sequence(F.lit(1), n, F.lit(stride))).alias("k", "i"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(stride))).alias("i"),
     ).select(
         "doc_id",
-        (F.col("k") * stride + 1).alias("pos"),
+        F.col("i").alias("pos"),  # the exploded value IS 1 + k*stride
         span_hash(F.col("i")).alias("span_hash"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # distinct-doc count via groupBy + semi-join, NOT a collect_set

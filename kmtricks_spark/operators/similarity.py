@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# ivf_train's driver-side training-sample hard cap; shared so callers
+# (e.g. the curate semantic gate) can bound n_lists by the same number
+# instead of duplicating the literal
+IVF_MAX_TRAIN_ROWS = 65536
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -106,7 +112,7 @@ def hyperplane_signatures(
 def ivf_train(
     df: DataFrame,
     n_lists: int = 16,
-    max_train_rows: int = 65536,
+    max_train_rows: int = IVF_MAX_TRAIN_ROWS,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -312,7 +318,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     n_lists: int = 16,
-    max_train_rows: int = 65536,
+    max_train_rows: int = IVF_MAX_TRAIN_ROWS,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
@@ -358,7 +364,7 @@ def semantic_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     n_lists: int = 16,
-    max_train_rows: int = 65536,
+    max_train_rows: int = IVF_MAX_TRAIN_ROWS,
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",

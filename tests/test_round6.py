@@ -140,3 +140,19 @@ def test_scalar_pass_one_scan_report_matches_two_scan(spark, docs):
     )
     assert rep_one == rep_two
     assert kept_one.count() == lazy_kept.count() == rep_two["after_gopher"]
+
+
+def test_bf_slices_raises_on_out_of_window_index(spark):
+    """An index outside its partition's window must fail loudly (the
+    numpy build raised IndexError); silent truncation would be a silent
+    Bloom false negative downstream."""
+    from kmtricks_spark.config import KmConfig
+    from kmtricks_spark.operators.bloom_stage import bf_slices
+
+    cfg = KmConfig(k=8, nb_partitions=2, bloom_bits=131_072)
+    bad = spark.createDataFrame(
+        [(0, "s1", int(cfg.window_bits), 1)],  # local index == window_bits
+        ["part_id", "sample_id", "hash_idx", "count"],
+    )
+    with pytest.raises(Exception, match="outside its partition window"):
+        bf_slices(bad, cfg).collect()
